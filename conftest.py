@@ -1,0 +1,23 @@
+import os
+import sys
+
+# Force the 8-device virtual CPU mesh before jax backends initialize: tests
+# run on a host-platform mesh, never over the (slow, tunneled) real TPU chip.
+# NOTE: the container's sitecustomize force-sets JAX_PLATFORMS=axon, so the
+# env var alone is not enough — jax.config.update below is what sticks.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+# the mounted reference checkout doubles as a test oracle
+REFERENCE_PATH = "/root/reference"
+if os.path.isdir(REFERENCE_PATH) and REFERENCE_PATH not in sys.path:
+    sys.path.insert(0, REFERENCE_PATH)

@@ -1,0 +1,51 @@
+"""highwayenv_tpu — a TPU-native vectorized driving-environment engine.
+
+A from-scratch JAX/XLA rebuild of the capabilities of
+Farama-Foundation/HighwayEnv: fixed-shape SoA scene state, fused jit/vmap
+transition kernels (IDM+MOBIL traffic, kinematic bicycle dynamics, masked
+pairwise collisions), compiled road-network geometry tables, and env batches
+that shard across TPU meshes.
+
+Registry ids mirror the reference (highway_env/__init__.py:22-187).
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+_REGISTRY: dict[str, tuple] = {}
+
+
+def register(env_id: str, cls, kwargs: dict | None = None):
+    _REGISTRY[env_id] = (cls, kwargs or {})
+
+
+def make(env_id: str, config: dict | None = None):
+    """Instantiate a registered environment (functional core).
+
+    Returns an env object with pure jittable ``reset(key)`` and
+    ``step(state, action)`` methods; see envs/base.py.
+    """
+    if env_id not in _REGISTRY:
+        raise KeyError(
+            f"Unknown env id {env_id!r}; known: {sorted(_REGISTRY)}"
+        )
+    cls, base_kwargs = _REGISTRY[env_id]
+    base_config = dict(base_kwargs.get("config", {}))
+    if config:
+        base_config.update(config)
+    return cls(config=base_config or None)
+
+
+def registered_ids():
+    return sorted(_REGISTRY)
+
+
+def _register_all():
+    from highwayenv_tpu.envs.highway import HighwayEnv, HighwayEnvFast
+
+    register("highway-v0", HighwayEnv)
+    register("highway-fast-v0", HighwayEnvFast)
+
+
+_register_all()

@@ -1,0 +1,286 @@
+"""Functional env core: fused frame kernel + scan-based step.
+
+The reference AbstractEnv (envs/common/abstract.py:40-465) holds mutable
+Python scene state and loops ``road.act(); road.step(dt)`` per simulation
+frame.  Here the whole policy step is one pure jittable function: a
+``lax.scan`` over ``sim_freq // policy_freq`` fused frames of
+{follow_road, ego meta-action, IDM/MOBIL decisions, P-controllers, bicycle
+integration, lane re-localization, pairwise collisions}, followed by the
+observation / reward / termination heads.  ``vmap`` over EnvState batches
+thousands of envs per chip; the batch axis shards over a device mesh.
+"""
+
+from __future__ import annotations
+
+import copy
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from highwayenv_tpu.ops import collision
+from highwayenv_tpu.road import lane as lane_ops
+from highwayenv_tpu.vehicle import behavior, controller, kinematics
+from highwayenv_tpu.vehicle.behavior import IDMParams
+from highwayenv_tpu.vehicle.state import (
+    KIND_EGO,
+    KIND_IDM,
+    VehicleState,
+)
+
+
+@flax.struct.dataclass
+class EnvState:
+    vehicles: VehicleState
+    time: jnp.ndarray  # f32 scalar, simulation time [s]
+    steps: jnp.ndarray  # i32 scalar, simulation frames executed
+    key: jnp.ndarray  # PRNG key for in-episode randomness
+
+
+class BaseEnv:
+    """Config surface mirrors the reference AbstractEnv.
+
+    Pure API (all jittable, single-env semantics; use vmap for batching):
+      reset(key)          -> (obs, EnvState)
+      step(state, action) -> (obs, EnvState, reward, terminated, truncated, info)
+    """
+
+    PERCEPTION_DISTANCE = 200.0
+
+    def __init__(self, config: dict | None = None):
+        self.config = self.default_config()
+        self.configure(config)
+        self._build()
+
+    @classmethod
+    def default_config(cls) -> dict:
+        """envs/common/abstract.py:101-125."""
+        return {
+            "observation": {"type": "Kinematics"},
+            "action": {"type": "DiscreteMetaAction"},
+            "simulation_frequency": 15,
+            "policy_frequency": 1,
+            "other_vehicles_type": "highway_env.vehicle.behavior.IDMVehicle",
+            "screen_width": 600,
+            "screen_height": 150,
+            "centering_position": [0.3, 0.5],
+            "scaling": 5.5,
+            "show_trajectories": False,
+            "render_agent": True,
+            "offscreen_rendering": None,
+            "manual_control": False,
+            "real_time_rendering": False,
+            "neighbour_vehicles_connected_lanes": False,
+        }
+
+    def configure(self, config: dict | None) -> None:
+        if config:
+            self.config.update(copy.deepcopy(config))
+
+    # ------------------------------------------------------------------ #
+    # build
+    # ------------------------------------------------------------------ #
+    def _build(self):
+        self._build_scene()  # subclass: sets self.net / self.geo / slots
+        self._build_spaces()
+        self.idm_params = IDMParams()
+        self.dt = 1.0 / self.config["simulation_frequency"]
+        self.frames_per_step = int(
+            self.config["simulation_frequency"] // self.config["policy_frequency"]
+        )
+        self.step = jax.jit(self._step)
+        self.reset = jax.jit(self._reset)
+
+    def _build_scene(self):
+        raise NotImplementedError
+
+    def _build_spaces(self):
+        from highwayenv_tpu.factories import action_factory, observation_factory
+
+        self.action_type = action_factory(self.config["action"])
+        self.observation_type = observation_factory(self, self.config["observation"])
+
+    @property
+    def action_space(self):
+        return self.action_type.space()
+
+    @property
+    def observation_space(self):
+        return self.observation_type.space()
+
+    # ------------------------------------------------------------------ #
+    # subclass hooks
+    # ------------------------------------------------------------------ #
+    @property
+    def ego_slots(self) -> tuple[int, ...]:
+        return (0,)
+
+    def _reset_vehicles(self, key) -> VehicleState:
+        raise NotImplementedError
+
+    def _rewards(self, state: EnvState, action) -> dict[str, jnp.ndarray]:
+        raise NotImplementedError
+
+    def _reward(self, state: EnvState, action) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def _is_terminated(self, state: EnvState) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def _is_truncated(self, state: EnvState) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def _info(self, state: EnvState, action) -> dict[str, Any]:
+        """envs/common/abstract.py:200-217."""
+        ego = self.ego_slots[0]
+        info = {
+            "speed": state.vehicles.speed[..., ego],
+            "crashed": state.vehicles.crashed[..., ego],
+            "action": action,
+        }
+        try:
+            info["rewards"] = self._rewards(state, action)
+        except NotImplementedError:
+            pass
+        return info
+
+    # ------------------------------------------------------------------ #
+    # helpers shared by scenario reward/termination code
+    # ------------------------------------------------------------------ #
+    def ego_on_road(self, state: EnvState, ego: int | None = None) -> jnp.ndarray:
+        """RoadObject.on_road (vehicle/objects.py:200-203)."""
+        veh = state.vehicles
+        ego = self.ego_slots[0] if ego is None else ego
+        lane = veh.lane[..., ego]
+        s, lat = lane_ops.local_coordinates(self.geo, lane, veh.pos[..., ego, :])
+        return lane_ops.on_lane(self.geo, lane, s, lat)
+
+    # ------------------------------------------------------------------ #
+    # fused simulation frame
+    # ------------------------------------------------------------------ #
+    def _action_to_slots(self, action) -> jnp.ndarray:
+        """Scatter the agent action(s) to a per-slot (..., V) int32 array."""
+        V = self.num_slots
+        action = jnp.asarray(action, jnp.int32)
+        if len(self.ego_slots) == 1:
+            slots = jnp.zeros(action.shape + (V,), jnp.int32)
+            return slots.at[..., self.ego_slots[0]].set(action)
+        slots = jnp.zeros(action.shape[:-1] + (V,), jnp.int32)
+        for k, slot in enumerate(self.ego_slots):
+            slots = slots.at[..., slot].set(action[..., k])
+        return slots
+
+    def _frame(
+        self, veh: VehicleState, slot_actions: jnp.ndarray, first: jnp.ndarray
+    ) -> VehicleState:
+        """One simulation frame = road.act() + road.step(dt)
+        (envs/common/abstract.py:287-317, road/road.py:464-481)."""
+        geo = self.geo
+
+        # every controlled/IDM vehicle first advances its target lane at lane
+        # ends (controller.py:98, behavior.py:106)
+        veh = controller.follow_road(geo, veh, self.max_edge_lanes)
+
+        # ego meta-action on the first frame of the policy step
+        ego_mask = (veh.kind == KIND_EGO) & first
+        veh = self.action_type.apply(geo, veh, ego_mask, slot_actions)
+
+        # low-level controls for externally-actioned vehicles
+        ego_steer, ego_acc = controller.controlled_vehicle_controls(geo, veh)
+
+        # IDM/MOBIL NPC decisions (sees the ego's fresh targets, matching the
+        # reference's act() list order with the ego first)
+        veh, idm_steer, idm_acc = behavior.idm_act(geo, self.idm_params, veh)
+
+        is_ego = veh.kind == KIND_EGO
+        is_idm = (veh.kind == KIND_IDM) & ~veh.crashed
+        veh = veh.replace(
+            steering=jnp.where(
+                is_ego, ego_steer, jnp.where(is_idm, idm_steer, veh.steering)
+            ),
+            accel=jnp.where(is_ego, ego_acc, jnp.where(is_idm, idm_acc, veh.accel)),
+        )
+
+        veh = kinematics.integrate(veh, self.dt)
+
+        # on_state_update lane re-localization (kinematics.py:170-175)
+        new_lane = lane_ops.closest_lane(geo, veh.pos, veh.heading)
+        veh = veh.replace(lane=jnp.where(veh.is_vehicle, new_lane, veh.lane))
+
+        veh = collision.handle_collisions(veh, self.dt)
+        return veh
+
+    def _simulate(self, state: EnvState, slot_actions) -> EnvState:
+        def body(veh, i):
+            return self._frame(veh, slot_actions, i == 0), None
+
+        veh, _ = jax.lax.scan(
+            body, state.vehicles, jnp.arange(self.frames_per_step)
+        )
+        return state.replace(
+            vehicles=veh, steps=state.steps + self.frames_per_step
+        )
+
+    # ------------------------------------------------------------------ #
+    # public pure API
+    # ------------------------------------------------------------------ #
+    def _observe(self, state: EnvState):
+        if len(self.ego_slots) == 1:
+            return self.observation_type.observe(
+                self.geo, state.vehicles, self.ego_slots[0]
+            )
+        return tuple(
+            self.observation_type.observe(self.geo, state.vehicles, slot)
+            for slot in self.ego_slots
+        )
+
+    def _reset(self, key):
+        kv, ks = jax.random.split(key)
+        veh = self._reset_vehicles(kv)
+        state = EnvState(
+            vehicles=veh,
+            time=jnp.zeros((), jnp.float32),
+            steps=jnp.zeros((), jnp.int32),
+            key=ks,
+        )
+        return self._observe(state), state
+
+    def _step(self, state: EnvState, action):
+        slot_actions = self._action_to_slots(action)
+        state = state.replace(
+            time=state.time + 1.0 / self.config["policy_frequency"]
+        )
+        state = self._simulate(state, slot_actions)
+        obs = self._observe(state)
+        reward = self._reward(state, action)
+        terminated = self._is_terminated(state)
+        truncated = self._is_truncated(state)
+        info = self._info(state, action)
+        return obs, state, reward, terminated, truncated, info
+
+    # ------------------------------------------------------------------ #
+    # batched + auto-reset conveniences
+    # ------------------------------------------------------------------ #
+    def reset_batch(self, keys):
+        return jax.vmap(self._reset)(keys)
+
+    def step_autoreset(self, state: EnvState, action):
+        """Single-env step that re-initializes on episode end (the Gymnasium
+        vector autoreset contract: terminal obs replaced by the reset obs)."""
+        obs, new_state, reward, terminated, truncated, info = self._step(
+            state, action
+        )
+        done = terminated | truncated
+        k_reset, k_next = jax.random.split(new_state.key)
+        reset_obs, reset_state = self._reset(k_reset)
+        reset_state = reset_state.replace(key=k_next)
+        def where_done(x, y):
+            d = jnp.reshape(done, done.shape + (1,) * (x.ndim - done.ndim))
+            return jnp.where(d, x, y)
+
+        state = jax.tree.map(where_done, reset_state, new_state)
+        obs = jax.tree.map(where_done, reset_obs, obs)
+        return obs, state, reward, terminated, truncated, info

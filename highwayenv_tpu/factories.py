@@ -1,0 +1,24 @@
+"""Observation / action type factories dispatched on config["type"].
+
+Mirrors the reference factory surface (envs/common/observation.py:772-795,
+envs/common/action.py:336-347) so scenario configs are drop-in compatible.
+"""
+
+from __future__ import annotations
+
+from highwayenv_tpu.actions.discrete_meta import DiscreteMetaAction
+from highwayenv_tpu.observations.kinematics import KinematicsObservation
+
+
+def observation_factory(env, config: dict):
+    kwargs = {k: v for k, v in config.items() if k != "type"}
+    if config["type"] == "Kinematics":
+        return KinematicsObservation(**kwargs)
+    raise ValueError(f"Unknown observation type: {config['type']}")
+
+
+def action_factory(config: dict):
+    kwargs = {k: v for k, v in config.items() if k != "type"}
+    if config["type"] == "DiscreteMetaAction":
+        return DiscreteMetaAction(**kwargs)
+    raise ValueError(f"Unknown action type: {config['type']}")

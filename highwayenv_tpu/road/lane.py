@@ -1,0 +1,253 @@
+"""Lane geometry as a structure-of-arrays table + branch-free vectorized kernels.
+
+The reference (highway_env/road/lane.py) models each lane as a Python object
+with virtual methods ``position``/``local_coordinates``/``heading_at``.  The
+TPU-native design compiles the whole road network at build time into a single
+``LaneGeometry`` table of arrays; every lane op is then a gather + elementwise
+computation switched on the lane-type enum, safe under jit/vmap and trivially
+batched over (vehicles x lanes) products.
+
+Geometry math reproduced from the reference:
+  - StraightLane   road/lane.py:159-233
+  - SineLane       road/lane.py:236-308
+  - CircularLane   road/lane.py:311-384
+  - on_lane / is_reachable_from / after_end / distance_with_heading
+                   road/lane.py:80-147
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from highwayenv_tpu.utils.math import wrap_to_pi
+
+# Lane type enum
+STRAIGHT = 0
+SINE = 1
+CIRCULAR = 2
+
+# AbstractLane constants (road/lane.py:16-17)
+DEFAULT_WIDTH = 4.0
+VEHICLE_LENGTH = 5.0
+
+# LineType enum (road/lane.py:150-156)
+LINE_NONE = 0
+LINE_STRIPED = 1
+LINE_CONTINUOUS = 2
+LINE_CONTINUOUS_LINE = 3
+
+
+class LaneGeometry(NamedTuple):
+    """Static per-lane geometry + graph tables. All arrays have leading dim L.
+
+    Lanes belonging to the same edge (same (from,to) road) occupy contiguous
+    global indices; ``edge_base`` is the global index of the edge's lane 0 so
+    ``global_id = edge_base + local_id``.
+    """
+
+    kind: jnp.ndarray  # (L,) int32: STRAIGHT / SINE / CIRCULAR
+    # straight / sine parameters
+    start: jnp.ndarray  # (L,2)
+    end: jnp.ndarray  # (L,2)
+    direction: jnp.ndarray  # (L,2) unit vector along the (straight) axis
+    direction_lateral: jnp.ndarray  # (L,2) left-normal
+    heading0: jnp.ndarray  # (L,) heading of the straight axis
+    amplitude: jnp.ndarray  # (L,) sine amplitude
+    pulsation: jnp.ndarray  # (L,) sine pulsation [rad/m]
+    phase: jnp.ndarray  # (L,) sine phase [rad]
+    # circular parameters
+    center: jnp.ndarray  # (L,2)
+    radius: jnp.ndarray  # (L,)
+    start_phase: jnp.ndarray  # (L,)
+    cw: jnp.ndarray  # (L,) +1 clockwise / -1 counter-clockwise
+    # common attributes
+    width: jnp.ndarray  # (L,)
+    length: jnp.ndarray  # (L,)
+    speed_limit: jnp.ndarray  # (L,) +inf when unlimited
+    forbidden: jnp.ndarray  # (L,) bool
+    priority: jnp.ndarray  # (L,) int32
+    line_types: jnp.ndarray  # (L,2) int32, for rendering parity
+    # graph structure
+    from_node: jnp.ndarray  # (L,) int32
+    to_node: jnp.ndarray  # (L,) int32
+    lane_id: jnp.ndarray  # (L,) int32 local id within its edge
+    edge_id: jnp.ndarray  # (L,) int32
+    edge_base: jnp.ndarray  # (L,) int32 global index of edge's lane 0
+    edge_n: jnp.ndarray  # (L,) int32 number of lanes on this edge
+    # successor edges (edges departing from to_node), padded with -1
+    succ_edge_base: jnp.ndarray  # (L,S) int32 global base lane of successor edge
+    succ_edge_n: jnp.ndarray  # (L,S) int32 lane count of successor edge
+    # predecessor edges (edges arriving at from_node), padded with -1
+    pred_edge_base: jnp.ndarray  # (L,P) int32
+    pred_edge_n: jnp.ndarray  # (L,P) int32
+
+    @property
+    def num_lanes(self) -> int:
+        return self.kind.shape[0]
+
+
+def _gather(geo: LaneGeometry, lane: jnp.ndarray):
+    """Clip lane indices into range (callers mask invalid lanes themselves)."""
+    return jnp.clip(lane, 0, geo.kind.shape[0] - 1)
+
+
+def local_coordinates(geo: LaneGeometry, lane: jnp.ndarray, pos: jnp.ndarray):
+    """(longitudinal, lateral) lane coordinates of world positions.
+
+    lane: (...,) int32; pos: (...,2). Returns two (...,) arrays.
+    Straight: road/lane.py:209-213; Sine: 282-286; Circular: 355-362.
+    """
+    li = _gather(geo, lane)
+    kind = geo.kind[li]
+
+    # straight frame
+    delta = pos - geo.start[li]
+    s_str = jnp.einsum("...d,...d->...", delta, geo.direction[li])
+    r_str = jnp.einsum("...d,...d->...", delta, geo.direction_lateral[li])
+    # sine correction on the straight frame
+    r_sin = r_str - geo.amplitude[li] * jnp.sin(
+        geo.pulsation[li] * s_str + geo.phase[li]
+    )
+
+    # circular frame
+    dc = pos - geo.center[li]
+    phi = jnp.arctan2(dc[..., 1], dc[..., 0])
+    sp = geo.start_phase[li]
+    phi = sp + wrap_to_pi(phi - sp)
+    r = jnp.linalg.norm(dc, axis=-1)
+    s_cir = geo.cw[li] * (phi - sp) * geo.radius[li]
+    r_cir = geo.cw[li] * (geo.radius[li] - r)
+
+    s = jnp.where(kind == CIRCULAR, s_cir, s_str)
+    lat = jnp.where(kind == CIRCULAR, r_cir, jnp.where(kind == SINE, r_sin, r_str))
+    return s, lat
+
+
+def position(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray, lat: jnp.ndarray):
+    """World position at local lane coordinates. Returns (...,2)."""
+    li = _gather(geo, lane)
+    kind = geo.kind[li]
+
+    lat_eff = jnp.where(
+        kind == SINE,
+        lat
+        + geo.amplitude[li]
+        * jnp.sin(geo.pulsation[li] * s + geo.phase[li]),
+        lat,
+    )
+    p_str = (
+        geo.start[li]
+        + s[..., None] * geo.direction[li]
+        + lat_eff[..., None] * geo.direction_lateral[li]
+    )
+
+    phi = geo.cw[li] * s / geo.radius[li] + geo.start_phase[li]
+    p_cir = geo.center[li] + (geo.radius[li] - lat * geo.cw[li])[..., None] * jnp.stack(
+        [jnp.cos(phi), jnp.sin(phi)], axis=-1
+    )
+    return jnp.where((kind == CIRCULAR)[..., None], p_cir, p_str)
+
+
+def heading_at(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray):
+    li = _gather(geo, lane)
+    kind = geo.kind[li]
+    h_str = geo.heading0[li]
+    h_sin = h_str + jnp.arctan(
+        geo.amplitude[li]
+        * geo.pulsation[li]
+        * jnp.cos(geo.pulsation[li] * s + geo.phase[li])
+    )
+    phi = geo.cw[li] * s / geo.radius[li] + geo.start_phase[li]
+    h_cir = phi + jnp.pi / 2 * geo.cw[li]
+    return jnp.where(
+        kind == CIRCULAR, h_cir, jnp.where(kind == SINE, h_sin, h_str)
+    )
+
+
+def width_at(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray):
+    li = _gather(geo, lane)
+    return geo.width[li]
+
+
+def on_lane(
+    geo: LaneGeometry,
+    lane: jnp.ndarray,
+    s: jnp.ndarray,
+    lat: jnp.ndarray,
+    margin: float = 0.0,
+):
+    """road/lane.py:80-102 with precomputed local coordinates."""
+    li = _gather(geo, lane)
+    return (
+        (jnp.abs(lat) <= geo.width[li] / 2 + margin)
+        & (-VEHICLE_LENGTH <= s)
+        & (s < geo.length[li] + VEHICLE_LENGTH)
+    )
+
+
+def is_reachable_from(geo: LaneGeometry, lane: jnp.ndarray, pos: jnp.ndarray):
+    """road/lane.py:104-118."""
+    li = _gather(geo, lane)
+    s, lat = local_coordinates(geo, lane, pos)
+    close = (
+        (jnp.abs(lat) <= 2 * geo.width[li])
+        & (0 <= s)
+        & (s < geo.length[li] + VEHICLE_LENGTH)
+    )
+    return close & ~geo.forbidden[li]
+
+
+def after_end(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray):
+    """road/lane.py:120-125."""
+    li = _gather(geo, lane)
+    return s > geo.length[li] - VEHICLE_LENGTH / 2
+
+
+def distance(geo: LaneGeometry, lane: jnp.ndarray, pos: jnp.ndarray):
+    """L1-ish distance from a position to the lane (road/lane.py:127-130)."""
+    li = _gather(geo, lane)
+    s, r = local_coordinates(geo, lane, pos)
+    return (
+        jnp.abs(r)
+        + jnp.maximum(s - geo.length[li], 0.0)
+        + jnp.maximum(0.0 - s, 0.0)
+    )
+
+
+def local_angle(geo: LaneGeometry, lane: jnp.ndarray, heading, s):
+    """road/lane.py:145-147."""
+    return wrap_to_pi(heading - heading_at(geo, lane, s))
+
+
+def distance_with_heading(
+    geo: LaneGeometry,
+    lane: jnp.ndarray,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    heading_weight: float = 1.0,
+):
+    """road/lane.py:132-143."""
+    li = _gather(geo, lane)
+    s, r = local_coordinates(geo, lane, pos)
+    angle = jnp.abs(local_angle(geo, lane, heading, s))
+    return (
+        jnp.abs(r)
+        + jnp.maximum(s - geo.length[li], 0.0)
+        + jnp.maximum(0.0 - s, 0.0)
+        + heading_weight * angle
+    )
+
+
+def closest_lane(geo: LaneGeometry, pos: jnp.ndarray, heading: jnp.ndarray):
+    """Global index of the lane minimizing distance_with_heading.
+
+    Vectorized replacement of RoadNetwork.get_closest_lane_index
+    (road/road.py:55-71): the O(lanes) scan becomes one broadcast over the
+    (..., L) product with an argmin (first-minimum tie-break like np.argmin).
+    """
+    L = geo.num_lanes
+    all_lanes = jnp.arange(L, dtype=jnp.int32)
+    d = distance_with_heading(geo, all_lanes, pos[..., None, :], heading[..., None])
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)

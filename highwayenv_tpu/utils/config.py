@@ -1,0 +1,50 @@
+"""Layered dict-config system with nested-override validation.
+
+Reproduces the reference contract (highway_env/utils.py:427-478): class-chained
+``default_config()`` dicts, ``update_config`` validation that a nested mapping
+override redefines *all* keys of the nested default (with the multi-agent
+``action_config``/``observation_config`` special case), and contextvar-tracked
+error paths for meaningful messages.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from contextvars import ContextVar
+from typing import Any, Mapping
+
+_config_path: ContextVar[str] = ContextVar("_config_path", default="config")
+
+
+@contextmanager
+def track_config_path(key: str):
+    token = _config_path.set(f"{_config_path.get()}.{key}")
+    try:
+        yield
+    finally:
+        _config_path.reset(token)
+
+
+def update_config_check(config: dict[str, Any], delta: Mapping[str, Any]) -> None:
+    for key, val in config.items():
+        if key not in delta or not isinstance(val, Mapping):
+            continue
+        with track_config_path(key):
+            path = _config_path.get()
+            new_val = delta[key]
+            assert isinstance(
+                new_val, Mapping
+            ), f"{path} must be a mapping, got {type(new_val).__name__}"
+            if key in ("action", "observation"):
+                nested = new_val.get(key + "_config")
+                if isinstance(nested, Mapping):
+                    new_val = {**new_val, **nested}
+            missing_keys = val.keys() - new_val.keys()
+            assert not missing_keys, f"{path} invalid: {missing_keys=}"
+            update_config_check(val, new_val)
+
+
+def update_config(config: dict[str, Any], delta: Mapping[str, Any]) -> dict[str, Any]:
+    update_config_check(config, delta)
+    config.update(delta)
+    return config
