@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: env-steps/s per chip, highway-v0, 4096 envs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is the speedup over the reference implementation measured on this
+host (Farama-Foundation/HighwayEnv v1.12.1, single process, random policy on
+highway-v0: 2.91 env-steps/s — measured 2026-08-16 with
+scripts/measure_reference.py; override with BENCH_REF_STEPS_PER_SEC).
+
+Env knobs:
+  BENCH_ENVS      batch size             (default 4096)
+  BENCH_HORIZON   steps per timed chunk  (default 16)
+  BENCH_CHUNKS    timed chunks           (default 4)
+  BENCH_ENV_ID    env id                 (default highway-v0)
+  BENCH_PLATFORM  force jax platform (e.g. cpu for local smoke)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+import highwayenv_tpu as ht
+from highwayenv_tpu.parallel.sharding import (
+    make_mesh,
+    shard_batch,
+    sharded_rollout_fn,
+)
+
+
+def main():
+    B = int(os.environ.get("BENCH_ENVS", 4096))
+    T = int(os.environ.get("BENCH_HORIZON", 16))
+    chunks = int(os.environ.get("BENCH_CHUNKS", 4))
+    env_id = os.environ.get("BENCH_ENV_ID", "highway-v0")
+    ref_sps = float(os.environ.get("BENCH_REF_STEPS_PER_SEC", 2.91))
+
+    env = ht.make(env_id)
+    n_dev = len(jax.devices())
+    B = (B // n_dev) * n_dev or n_dev
+    mesh = make_mesh()
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, states = jax.jit(jax.vmap(env._reset))(keys)
+    states = shard_batch(states, mesh)
+
+    rollout = sharded_rollout_fn(env, mesh, horizon=T)
+
+    # warmup (compile + one chunk)
+    states, metrics = rollout(states, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for c in range(chunks):
+        states, metrics = rollout(states, jax.random.PRNGKey(2 + c))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = B * T * chunks / dt
+    per_chip = steps_per_sec / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": f"env-steps/s per chip ({env_id}, {B} envs, random policy)",
+                "value": round(per_chip, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(per_chip / ref_sps, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,9 +43,13 @@ def registered_ids():
 
 def _register_all():
     from highwayenv_tpu.envs.highway import HighwayEnv, HighwayEnvFast
+    from highwayenv_tpu.envs.merge import MergeEnv
+    from highwayenv_tpu.envs.two_way import TwoWayEnv
 
     register("highway-v0", HighwayEnv)
     register("highway-fast-v0", HighwayEnvFast)
+    register("merge-v0", MergeEnv)
+    register("two-way-v0", TwoWayEnv)
 
 
 _register_all()

@@ -174,26 +174,41 @@ class BaseEnv:
         return slots
 
     def _frame(
-        self, veh: VehicleState, slot_actions: jnp.ndarray, first: jnp.ndarray
-    ) -> VehicleState:
+        self,
+        veh: VehicleState,
+        tables,
+        slot_actions: jnp.ndarray,
+        first: jnp.ndarray,
+    ):
         """One simulation frame = road.act() + road.step(dt)
-        (envs/common/abstract.py:287-317, road/road.py:464-481)."""
+        (envs/common/abstract.py:287-317, road/road.py:464-481).
+
+        ``tables`` is the (s, lat) projection table of the *current*
+        positions on every lane (road/lane.py projection_table); the frame
+        consumes it for all decision-phase lane queries and returns the
+        post-integration table for the next frame / re-localization.
+        """
         geo = self.geo
+        table_s, table_lat = tables
 
         # every controlled/IDM vehicle first advances its target lane at lane
         # ends (controller.py:98, behavior.py:106)
-        veh = controller.follow_road(geo, veh, self.max_edge_lanes)
+        veh = controller.follow_road(geo, veh, self.max_edge_lanes, table_s)
 
         # ego meta-action on the first frame of the policy step
         ego_mask = (veh.kind == KIND_EGO) & first
         veh = self.action_type.apply(geo, veh, ego_mask, slot_actions)
 
         # low-level controls for externally-actioned vehicles
-        ego_steer, ego_acc = controller.controlled_vehicle_controls(geo, veh)
+        ego_steer, ego_acc = controller.controlled_vehicle_controls(
+            geo, veh, table_s, table_lat
+        )
 
         # IDM/MOBIL NPC decisions (sees the ego's fresh targets, matching the
         # reference's act() list order with the ego first)
-        veh, idm_steer, idm_acc = behavior.idm_act(geo, self.idm_params, veh)
+        veh, idm_steer, idm_acc = behavior.idm_act(
+            geo, self.idm_params, veh, table_s, table_lat
+        )
 
         is_ego = veh.kind == KIND_EGO
         is_idm = (veh.kind == KIND_IDM) & ~veh.crashed
@@ -206,19 +221,26 @@ class BaseEnv:
 
         veh = kinematics.integrate(veh, self.dt)
 
-        # on_state_update lane re-localization (kinematics.py:170-175)
-        new_lane = lane_ops.closest_lane(geo, veh.pos, veh.heading)
+        # fresh projection table for the moved scene; re-localize lanes from
+        # it (on_state_update, kinematics.py:170-175)
+        new_s, new_lat = lane_ops.projection_table(geo, veh.pos)
+        new_lane = lane_ops.closest_lane_from_table(geo, new_s, new_lat, veh.heading)
         veh = veh.replace(lane=jnp.where(veh.is_vehicle, new_lane, veh.lane))
 
         veh = collision.handle_collisions(veh, self.dt)
-        return veh
+        return veh, (new_s, new_lat)
 
     def _simulate(self, state: EnvState, slot_actions) -> EnvState:
-        def body(veh, i):
-            return self._frame(veh, slot_actions, i == 0), None
+        tables0 = lane_ops.projection_table(self.geo, state.vehicles.pos)
 
-        veh, _ = jax.lax.scan(
-            body, state.vehicles, jnp.arange(self.frames_per_step)
+        def body(carry, i):
+            veh, tables = carry
+            return self._frame(veh, tables, slot_actions, i == 0), None
+
+        (veh, _tables), _ = jax.lax.scan(
+            body,
+            (state.vehicles, tables0),
+            jnp.arange(self.frames_per_step),
         )
         return state.replace(
             vehicles=veh, steps=state.steps + self.frames_per_step
@@ -258,6 +280,11 @@ class BaseEnv:
         reward = self._reward(state, action)
         terminated = self._is_terminated(state)
         truncated = self._is_truncated(state)
+        # registration-level TimeLimit (e.g. two-way max_episode_steps=15)
+        mes = self.config.get("max_episode_steps")
+        if mes:
+            policy_steps = state.steps // self.frames_per_step
+            truncated = truncated | (policy_steps >= mes)
         info = self._info(state, action)
         return obs, state, reward, terminated, truncated, info
 

@@ -8,12 +8,15 @@ from __future__ import annotations
 
 from highwayenv_tpu.actions.discrete_meta import DiscreteMetaAction
 from highwayenv_tpu.observations.kinematics import KinematicsObservation
+from highwayenv_tpu.observations.ttc import TimeToCollisionObservation
 
 
 def observation_factory(env, config: dict):
     kwargs = {k: v for k, v in config.items() if k != "type"}
     if config["type"] == "Kinematics":
         return KinematicsObservation(**kwargs)
+    if config["type"] == "TimeToCollision":
+        return TimeToCollisionObservation(env, **kwargs)
     raise ValueError(f"Unknown observation type: {config['type']}")
 
 

@@ -2,8 +2,11 @@
 
 Replaces the O(V^2) Python loop in Road.step (road/road.py:469-481) +
 RoadObject.handle_collisions (vehicle/objects.py:92-138) with one vectorized
-(V, V) pass: spherical pre-check, then a rectangle-specialized separating-axis
-test with velocity sweep, then masked crash/hit/impact aggregation.
+(V, V) pass: spherical pre-check (pairwise distances via one MXU matmul),
+then a rectangle-specialized separating-axis test with velocity sweep
+(axis-unrolled, so temporaries stay (V, V)-sized), then masked
+crash/hit/impact aggregation with scalar impact coefficients (no (V, V, 2)
+intermediates).
 
 Pair semantics mirror the reference loops: a pair (i, j), i < j, is tested iff
 at least one side is a stepping vehicle (vehicles pair with later vehicles and
@@ -22,8 +25,9 @@ from highwayenv_tpu.vehicle.state import KIND_OBSTACLE, VehicleState
 def handle_collisions(state: VehicleState, dt: float) -> VehicleState:
     V = state.num_slots
 
-    pos_i = state.pos[..., :, None, :]
-    pos_j = state.pos[..., None, :, :]
+    pos = state.pos
+    pos_i = pos[..., :, None, :]
+    pos_j = pos[..., None, :, :]
 
     i_idx = jnp.arange(V)
     upper = i_idx[:, None] < i_idx[None, :]  # i < j
@@ -38,13 +42,15 @@ def handle_collisions(state: VehicleState, dt: float) -> VehicleState:
         & state.collidable[..., None, :]
     )
 
-    # spherical pre-check (objects.py:122-134); `self` = lower index i
-    dist = jnp.linalg.norm(pos_j - pos_i, axis=-1)
+    # spherical pre-check (objects.py:122-134); `self` = lower index i.
+    # |pi-pj|^2 via one batched matmul (MXU) instead of a (V,V,2) subtract.
+    sq = jnp.sum(pos * pos, axis=-1)
+    cross = jnp.einsum("...id,...jd->...ij", pos, pos)
+    dist2 = jnp.maximum(sq[..., :, None] + sq[..., None, :] - 2.0 * cross, 0.0)
     reach = (state.diagonal[..., :, None] + state.diagonal[..., None, :]) / 2 + (
         state.speed[..., :, None] * dt
     )
-    near = dist <= reach
-    pair_ok = pair_ok & near
+    pair_ok = pair_ok & (dist2 <= reach * reach)
 
     vel = state.velocity
     intersecting, will_intersect, translation = rects_intersecting(
@@ -66,34 +72,29 @@ def handle_collisions(state: VehicleState, dt: float) -> VehicleState:
     solid_j = state.solid[..., None, :]
     both_solid = solid_i & solid_j
 
-    # impact transitions (objects.py:104-111): full transition against an
-    # obstacle, half each between two vehicles
+    # impact coefficients (objects.py:104-111): the full translation against
+    # an obstacle, half each between two vehicles
     obst = state.kind == KIND_OBSTACLE
     obst_i = obst[..., :, None]
     obst_j = obst[..., None, :]
     w = will_intersect & both_solid
-    imp_i = jnp.where(
-        (w & obst_j)[..., None],
-        translation,
-        jnp.where((w & ~obst_j & ~obst_i)[..., None], translation / 2, 0.0),
+    neither = ~obst_i & ~obst_j
+    coef_i = jnp.where(
+        w & obst_j, 1.0, jnp.where(w & neither, 0.5, 0.0)
+    )  # (V,V) scalar weights for slot i (the pair's `self`)
+    coef_j = jnp.where(
+        w & obst_i, 1.0, jnp.where(w & neither, -0.5, 0.0)
     )
-    imp_j = jnp.where(
-        (w & obst_i)[..., None],
-        translation,
-        jnp.where((w & ~obst_j & ~obst_i)[..., None], -translation / 2, 0.0),
-    )
-    imp_i_mask = w & ~obst_i
-    imp_j_mask = w & ~obst_j
 
-    impact = (
-        state.impact
-        + jnp.sum(imp_i, axis=-2)  # contributions where this slot is `self`
-        + jnp.sum(imp_j, axis=-3)  # contributions where this slot is `other`
-    )
+    tx = translation[..., 0]
+    ty = translation[..., 1]
+    imp_x = jnp.sum(coef_i * tx, axis=-1) + jnp.sum(coef_j * tx, axis=-2)
+    imp_y = jnp.sum(coef_i * ty, axis=-1) + jnp.sum(coef_j * ty, axis=-2)
+    impact = state.impact + jnp.stack([imp_x, imp_y], axis=-1)
     impact_pending = (
         state.impact_pending
-        | jnp.any(imp_i_mask, axis=-1)
-        | jnp.any(imp_j_mask, axis=-2)
+        | jnp.any(w & ~obst_i, axis=-1)
+        | jnp.any(w & ~obst_j, axis=-2)
     )
 
     # crash / hit flags (objects.py:113-120)

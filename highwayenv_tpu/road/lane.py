@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from highwayenv_tpu.utils.math import wrap_to_pi
@@ -39,11 +40,48 @@ LINE_CONTINUOUS = 2
 LINE_CONTINUOUS_LINE = 3
 
 
+class Table:
+    """A host-numpy lane-attribute table indexable by traced arrays.
+
+    Under jit, ``table[traced_idx]`` lowers to a gather whose operand is a
+    host-numpy constant — embedded in the program at compile time with no
+    device round trip (critical when the chip sits behind a high-latency
+    tunnel; fetching per-constant device values during MLIR lowering cost
+    ~40 s each).  Indices are clipped (callers pre-clip padding ids).
+    """
+
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        import numpy as _np
+
+        self.a = _np.asarray(a)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, slice)) or (
+            isinstance(idx, tuple) and all(isinstance(i, (int, slice)) for i in idx)
+        ):
+            return self.a[idx]
+        return jnp.take(self.a, idx, axis=0, mode="clip")
+
+    def __array__(self, dtype=None):
+        return self.a if dtype is None else self.a.astype(dtype)
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+
 class LaneGeometry(NamedTuple):
     """Static per-lane geometry + graph tables. All arrays have leading dim L.
 
-    Lanes belonging to the same edge (same (from,to) road) occupy contiguous
-    global indices; ``edge_base`` is the global index of the edge's lane 0 so
+    Fields are ``Table``-wrapped host arrays (see Table).  Lanes belonging to
+    the same edge (same (from,to) road) occupy contiguous global indices;
+    ``edge_base`` is the global index of the edge's lane 0 so
     ``global_id = edge_base + local_id``.
     """
 
@@ -251,3 +289,73 @@ def closest_lane(geo: LaneGeometry, pos: jnp.ndarray, heading: jnp.ndarray):
     all_lanes = jnp.arange(L, dtype=jnp.int32)
     d = distance_with_heading(geo, all_lanes, pos[..., None, :], heading[..., None])
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------- #
+# per-frame projection table
+# --------------------------------------------------------------------------- #
+
+
+def projection_table(geo: LaneGeometry, pos: jnp.ndarray):
+    """(s, lat) of every object on every lane: pos (...,V,2) -> two (...,V,L).
+
+    The engine computes this once per simulation frame; every subsequent
+    lane-projection query (neighbour search, IDM gaps, MOBIL conflicts, lane
+    re-localization) becomes a gather / one-hot matmul against the table
+    instead of an independent O(V^2) trigonometric pass.
+    """
+    L = geo.num_lanes
+    all_lanes = jnp.arange(L, dtype=jnp.int32)
+    return local_coordinates(geo, all_lanes, pos[..., None, :])
+
+
+def heading_table(geo: LaneGeometry, s_table: jnp.ndarray):
+    """Lane heading at the table's longitudinal coordinates: (...,V,L)."""
+    L = geo.num_lanes
+    all_lanes = jnp.arange(L, dtype=jnp.int32)
+    return heading_at(geo, all_lanes, s_table)
+
+
+def closest_lane_from_table(
+    geo: LaneGeometry,
+    s_table: jnp.ndarray,
+    lat_table: jnp.ndarray,
+    heading: jnp.ndarray,
+    heading_weight: float = 1.0,
+):
+    """closest_lane reusing a precomputed projection table."""
+    L = geo.num_lanes
+    all_lanes = jnp.arange(L, dtype=jnp.int32)
+    lane_len = geo.length[all_lanes]
+    angle = jnp.abs(
+        wrap_to_pi(heading[..., None] - heading_table(geo, s_table))
+    )
+    d = (
+        jnp.abs(lat_table)
+        + jnp.maximum(s_table - lane_len, 0.0)
+        + jnp.maximum(-s_table, 0.0)
+        + heading_weight * angle
+    )
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def table_lookup(table: jnp.ndarray, vehicle_idx: jnp.ndarray, lane_idx: jnp.ndarray):
+    """table (...,V,L) -> values at (vehicle_idx, lane_idx), both (...,K)."""
+    V = table.shape[-2]
+    L = table.shape[-1]
+    flat = table.reshape(table.shape[:-2] + (V * L,))
+    ii = jnp.clip(vehicle_idx, 0, V - 1) * L + jnp.clip(lane_idx, 0, L - 1)
+    return jnp.take_along_axis(flat, ii, axis=-1)
+
+
+def pair_project(table: jnp.ndarray, query_lane: jnp.ndarray):
+    """All-pairs projection via one-hot matmul (MXU-friendly).
+
+    table (...,V,L), query_lane (...,V) -> out (...,V,V) with
+    out[i, j] = table[j, query_lane[i]].  The one-hot contraction is exact
+    (each row selects a single entry) and maps onto the MXU as a batched
+    (V,L)x(L,V) matmul rather than a scatter/gather.
+    """
+    L = table.shape[-1]
+    onehot = jax.nn.one_hot(query_lane, L, dtype=table.dtype)  # (...,V,L)
+    return jnp.einsum("...il,...jl->...ij", onehot, table)

@@ -228,6 +228,40 @@ class RoadNetworkBuilder:
     def node_id(self, name: str) -> int:
         return self._node_ids[name]
 
+    def connectivity_matrix(self, depth: int = 3, same_lane: bool = False):
+        """Static (L, L) bool matrix: is_connected_road(l1, l2, depth)
+        (road/road.py:231-276, route=None path).  Precomputed host-side since
+        the graph is fixed at build time; consumed by the TTC grid kernel.
+        """
+        import numpy as np
+
+        indices = []
+        for (f, t), lanes in self._edges.items():
+            for i in range(len(lanes)):
+                indices.append((f, t, i))
+        L = len(indices)
+
+        def is_connected(i1, i2, depth):
+            f1, t1, id1 = i1
+            f2, t2, id2 = i2
+            same_road = (f1, t1) == (f2, t2) and (not same_lane or id1 == id2)
+            leading = t2 == f1 and (not same_lane or id1 == id2)
+            if same_road or leading:
+                return True
+            if depth > 0:
+                return any(
+                    is_connected((t1, nt, id1), i2, depth - 1)
+                    for (nf, nt) in self._edges
+                    if nf == t1
+                )
+            return False
+
+        mat = np.zeros((L, L), dtype=bool)
+        for a, i1 in enumerate(indices):
+            for b, i2 in enumerate(indices):
+                mat[a, b] = is_connected(i1, i2, depth)
+        return mat
+
     def bfs_shortest_path(self, start: str, goal: str) -> list[str]:
         """Breadth-first shortest node path (road/road.py:159-188)."""
         graph: dict[str, list[str]] = {}
@@ -381,34 +415,40 @@ class RoadNetworkBuilder:
                 pred_edge_base[g_idx, j] = b
                 pred_edge_n[g_idx, j] = n
 
+        # NOTE: tables stay in host numpy (see lane.Table): lane kernels
+        # consume them as trace-time constants, so jit embeds the small
+        # tables directly in the program with no device transfers at
+        # lowering time.
+        from highwayenv_tpu.road.lane import Table
+
         return LaneGeometry(
-            kind=jnp.asarray(kind),
-            start=jnp.asarray(start),
-            end=jnp.asarray(end),
-            direction=jnp.asarray(direction),
-            direction_lateral=jnp.asarray(direction_lateral),
-            heading0=jnp.asarray(heading0),
-            amplitude=jnp.asarray(amplitude),
-            pulsation=jnp.asarray(pulsation),
-            phase=jnp.asarray(phase),
-            center=jnp.asarray(center),
-            radius=jnp.asarray(radius),
-            start_phase=jnp.asarray(start_phase),
-            cw=jnp.asarray(cw),
-            width=jnp.asarray(width),
-            length=jnp.asarray(length),
-            speed_limit=jnp.asarray(speed_limit),
-            forbidden=jnp.asarray(forbidden),
-            priority=jnp.asarray(priority),
-            line_types=jnp.asarray(line_types),
-            from_node=jnp.asarray(from_node),
-            to_node=jnp.asarray(to_node),
-            lane_id=jnp.asarray(lane_id),
-            edge_id=jnp.asarray(edge_id),
-            edge_base=jnp.asarray(edge_base),
-            edge_n=jnp.asarray(edge_n),
-            succ_edge_base=jnp.asarray(succ_edge_base),
-            succ_edge_n=jnp.asarray(succ_edge_n),
-            pred_edge_base=jnp.asarray(pred_edge_base),
-            pred_edge_n=jnp.asarray(pred_edge_n),
+            kind=Table(kind),
+            start=Table(start),
+            end=Table(end),
+            direction=Table(direction.astype(f32)),
+            direction_lateral=Table(direction_lateral.astype(f32)),
+            heading0=Table(heading0),
+            amplitude=Table(amplitude),
+            pulsation=Table(pulsation),
+            phase=Table(phase),
+            center=Table(center),
+            radius=Table(radius),
+            start_phase=Table(start_phase),
+            cw=Table(cw),
+            width=Table(width),
+            length=Table(length),
+            speed_limit=Table(speed_limit),
+            forbidden=Table(forbidden),
+            priority=Table(priority),
+            line_types=Table(line_types),
+            from_node=Table(from_node),
+            to_node=Table(to_node),
+            lane_id=Table(lane_id),
+            edge_id=Table(edge_id),
+            edge_base=Table(edge_base),
+            edge_n=Table(edge_n),
+            succ_edge_base=Table(succ_edge_base),
+            succ_edge_n=Table(succ_edge_n),
+            pred_edge_base=Table(pred_edge_base),
+            pred_edge_n=Table(pred_edge_n),
         )

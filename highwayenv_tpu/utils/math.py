@@ -134,62 +134,84 @@ def rects_intersecting(
     """Separating-axis test between two rotated rectangles, with velocity sweep.
 
     Vectorized equivalent of ``utils.are_polygons_intersecting`` (utils.py:196-241)
-    specialised to rectangles: instead of enumerating polygon edges, we use the
-    2+2 unique edge normals and analytic half-extent projections. Returns
-    (intersecting, will_intersect, translation) where translation is the
-    minimum-translation vector estimate used for the post-collision impact,
-    valid where will_intersect is True.
+    specialised to rectangles: the 8 signed edge normals (reference winding
+    order — duplicates and signs matter, see _rect_axes) with analytic
+    half-extent projections.  The axis loop is unrolled in Python so no
+    (..., 8, 2) broadcast tensor is ever materialized — peak temporaries stay
+    at the (...,) pair-grid size, which is what lets the (B, V, V) collision
+    pass fit in HBM at large batch.
 
-    All inputs broadcast over leading dims.
+    Returns (intersecting, will_intersect, translation) where translation is
+    the minimum-translation vector applied as post-collision impact, valid
+    where will_intersect is True.  All inputs broadcast over leading dims.
     """
     if displacement_a is None:
         displacement_a = jnp.zeros_like(center_a)
     if displacement_b is None:
         displacement_b = jnp.zeros_like(center_b)
 
-    axes_a = _rect_axes(angle_a)
-    axes_b = _rect_axes(angle_b)
-    shape = jnp.broadcast_shapes(axes_a.shape, axes_b.shape)
-    axes = jnp.concatenate(
-        [jnp.broadcast_to(axes_a, shape), jnp.broadcast_to(axes_b, shape)], axis=-2
-    )  # (...,8,2)
+    ca, sa = jnp.cos(angle_a), jnp.sin(angle_a)
+    cb, sb = jnp.cos(angle_b), jnp.sin(angle_b)
+    # signed axes in the reference's edge-winding order:
+    # rect A: [-uA_len, +uA_wid, +uA_len, -uA_wid], then same for rect B
+    axes = [
+        (-ca, -sa), (-sa, ca), (ca, sa), (sa, -ca),
+        (-cb, -sb), (-sb, cb), (cb, sb), (sb, -cb),
+    ]
 
-    def project(center, length, width, angle):
-        # interval of the rectangle projected on each axis: center proj +/- extent
-        cp = jnp.einsum("...kd,...d->...k", axes, center)
-        c, s = jnp.cos(angle)[..., None], jnp.sin(angle)[..., None]
-        # rectangle edge directions
-        ux = jnp.stack([c[..., 0], s[..., 0]], axis=-1)  # (...,2)
-        uy = jnp.stack([-s[..., 0], c[..., 0]], axis=-1)
-        ext = (
-            length[..., None] / 2 * jnp.abs(jnp.einsum("...kd,...d->...k", axes, ux))
-            + width[..., None] / 2 * jnp.abs(jnp.einsum("...kd,...d->...k", axes, uy))
+    dax = center_a[..., 0]
+    day = center_a[..., 1]
+    dbx = center_b[..., 0]
+    dby = center_b[..., 1]
+    relx = displacement_a[..., 0] - displacement_b[..., 0]
+    rely = displacement_a[..., 1] - displacement_b[..., 1]
+
+    intersecting = None
+    will_intersect = None
+    min_dist = None
+    best_ax = best_ay = None
+
+    for ax, ay in axes:
+        cp_a = ax * dax + ay * day
+        cp_b = ax * dbx + ay * dby
+        ext_a = length_a / 2 * jnp.abs(ax * ca + ay * sa) + width_a / 2 * jnp.abs(
+            -ax * sa + ay * ca
         )
-        return cp - ext, cp + ext
+        ext_b = length_b / 2 * jnp.abs(ax * cb + ay * sb) + width_b / 2 * jnp.abs(
+            -ax * sb + ay * cb
+        )
+        min_a, max_a = cp_a - ext_a, cp_a + ext_a
+        min_b, max_b = cp_b - ext_b, cp_b + ext_b
 
-    min_a, max_a = project(center_a, length_a, width_a, angle_a)
-    min_b, max_b = project(center_b, length_b, width_b, angle_b)
+        d_now = _interval_distance(min_a, max_a, min_b, max_b)
+        sep_now = d_now <= 0
+        intersecting = sep_now if intersecting is None else intersecting & sep_now
 
-    dist_now = _interval_distance(min_a, max_a, min_b, max_b)
-    intersecting = jnp.all(dist_now <= 0, axis=-1)
+        vp = ax * relx + ay * rely
+        d_swept = _interval_distance(
+            min_a + jnp.minimum(vp, 0.0), max_a + jnp.maximum(vp, 0.0), min_b, max_b
+        )
+        ok_swept = d_swept <= 0
+        will_intersect = (
+            ok_swept if will_intersect is None else will_intersect & ok_swept
+        )
 
-    vel_proj = jnp.einsum(
-        "...kd,...d->...k", axes, displacement_a - displacement_b
+        ad = jnp.abs(d_swept)
+        if min_dist is None:
+            min_dist, best_ax, best_ay = ad, jnp.broadcast_to(ax, ad.shape), jnp.broadcast_to(ay, ad.shape)
+        else:
+            better = ad < min_dist  # strict: first minimum wins (utils.py:234)
+            min_dist = jnp.where(better, ad, min_dist)
+            best_ax = jnp.where(better, ax, best_ax)
+            best_ay = jnp.where(better, ay, best_ay)
+
+    # orient from b towards a (utils.py:236-237)
+    dcx = dax - dbx
+    dcy = day - dby
+    sign = jnp.where(dcx * best_ax + dcy * best_ay > 0, 1.0, -1.0)
+    translation = jnp.stack(
+        [min_dist * sign * best_ax, min_dist * sign * best_ay], axis=-1
     )
-    min_a_s = min_a + jnp.minimum(vel_proj, 0.0)
-    max_a_s = max_a + jnp.maximum(vel_proj, 0.0)
-    dist_swept = _interval_distance(min_a_s, max_a_s, min_b, max_b)
-    will_intersect = jnp.all(dist_swept <= 0, axis=-1)
-
-    # Minimum translation vector: axis with smallest |swept distance|,
-    # oriented from b towards a (utils.py:234-240).
-    abs_d = jnp.abs(dist_swept)
-    k = jnp.argmin(abs_d, axis=-1)
-    min_dist = jnp.take_along_axis(abs_d, k[..., None], axis=-1)[..., 0]
-    axis = jnp.take_along_axis(axes, k[..., None, None], axis=-2)[..., 0, :]
-    d_ab = center_a - center_b
-    sign = jnp.where(jnp.einsum("...d,...d->...", d_ab, axis) > 0, 1.0, -1.0)
-    translation = (min_dist * sign)[..., None] * axis
     return intersecting, will_intersect, translation
 
 

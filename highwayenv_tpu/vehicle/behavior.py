@@ -1,31 +1,31 @@
 """Batched IDM longitudinal + MOBIL lane-change NPC policy.
 
-Vectorized re-design of ``IDMVehicle`` (vehicle/behavior.py:12-347):
+Vectorized re-design of ``IDMVehicle`` (vehicle/behavior.py:12-347), built
+around a per-frame **projection table**: (s, lat) of every object on every
+lane, computed once per frame (road/lane.py projection_table).  Every
+neighbour query — the reference's per-call ``Road.neighbour_vehicles`` linear
+scans (road/road.py:483-547) — then becomes a one-hot matmul (MXU) against
+the table plus masked argmin/argmax, with zero per-query trigonometry:
 
-  - the per-call ``Road.neighbour_vehicles`` linear scans (road/road.py:483-547)
-    become one masked (V, V) projection of every object onto every query lane,
-    with front/rear selected by masked argmin/argmax;
   - IDM:   a = a_c [1 - (v/v0)^delta - (d*/d)^2],
            d* = d0 + vT + v dv / (2 sqrt(ab))        (behavior.py:150-217)
   - MOBIL: safety (imposed braking >= -2 m/s^2) + incentive (jerk >= 0.2),
            route-direction override, abort-on-conflict, 1 s timer gating
            seeded (sum(position) pi) mod delay        (behavior.py:219-324)
 
-Known deviation from the reference (documented in PARITY.md): the reference
-applies vehicle decisions sequentially in list order inside ``Road.act``, so a
-vehicle's MOBIL pass can observe target-lane updates made by earlier vehicles
-in the same frame; this kernel evaluates all vehicles against the pre-frame
-state (one-frame-stale conflict information).
+Known deviation (PARITY.md #1): decisions are evaluated against the
+pre-frame state rather than sequentially in list order.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
 from highwayenv_tpu.road import lane as lane_ops
-from highwayenv_tpu.road.lane import LaneGeometry
+from highwayenv_tpu.road.lane import VEHICLE_LENGTH, LaneGeometry
 from highwayenv_tpu.utils.math import do_every, not_zero
 from highwayenv_tpu.vehicle import controller
 from highwayenv_tpu.vehicle.state import KIND_IDM, KIND_LANDMARK, VehicleState
@@ -47,50 +47,127 @@ class IDMParams:
     lane_change_delay: float = 1.0
 
 
+class Neighbours(NamedTuple):
+    front_idx: jnp.ndarray  # (...,V) i32
+    front_ex: jnp.ndarray  # (...,V) bool
+    rear_idx: jnp.ndarray  # (...,V) i32
+    rear_ex: jnp.ndarray  # (...,V) bool
+    s_self: jnp.ndarray  # (...,V) s of i on its query lane
+
+
+class LaneIndexStruct(NamedTuple):
+    """Per-frame sorted per-lane occupancy index (see build_lane_index)."""
+
+    sorted_s: jnp.ndarray  # (...,V,L) column-sorted longitudinal coords (+inf pad)
+    order: jnp.ndarray  # (...,V,L) vehicle id at each sorted slot
+
+
+def _self_idx(state: VehicleState) -> jnp.ndarray:
+    V = state.num_slots
+    return jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), state.kind.shape)
+
+
 # --------------------------------------------------------------------------- #
-# neighbour search
+# neighbour search: per-lane sorted index + vectorized binary search
 # --------------------------------------------------------------------------- #
+#
+# The reference's Road.neighbour_vehicles (road/road.py:483-547) scans all
+# objects per query.  A naive vectorization is an O(V^2) pair matrix per
+# query — 4+ queries/frame made the engine HBM-bound.  Instead we build, once
+# per frame, a per-lane sorted index of lane occupants (O(V L) memory), and
+# answer each front/rear query with an O(log V) binary search: the front
+# neighbour is the first sorted entry with s >= s_self (skipping self), the
+# rear the entry just below.  Tie semantics match the reference's
+# first-minimum argmin except exactly-equal rear coordinates (PARITY.md #3).
+
+
+def build_lane_index(
+    geo: LaneGeometry,
+    state: VehicleState,
+    table_s: jnp.ndarray,
+    table_lat: jnp.ndarray,
+) -> LaneIndexStruct:
+    L = geo.num_lanes
+    lanes = jnp.arange(L, dtype=jnp.int32)
+    width = geo.width[lanes]
+    length = geo.length[lanes]
+    on = (
+        (jnp.abs(table_lat) <= width / 2 + 1.0)
+        & (-VEHICLE_LENGTH <= table_s)
+        & (table_s < length + VEHICLE_LENGTH)
+    )
+    elig = (
+        on
+        & state.active[..., :, None]
+        & (state.kind != KIND_LANDMARK)[..., :, None]
+    )
+    key = jnp.where(elig, table_s, jnp.inf)
+    order = jnp.argsort(key, axis=-2, stable=True).astype(jnp.int32)
+    sorted_s = jnp.take_along_axis(key, order, axis=-2)
+    return LaneIndexStruct(sorted_s=sorted_s, order=order)
+
+
+def _column_lookup(table: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray):
+    """table (...,V,L); row,col (...,K) -> (...,K)."""
+    return lane_ops.table_lookup(table, row, col)
 
 
 def neighbours(
-    geo: LaneGeometry, state: VehicleState, query_lane: jnp.ndarray
-):
-    """Front/rear object of each vehicle projected on its query lane.
-
-    Equivalent to Road.neighbour_vehicles (road/road.py:483-547, base mode):
-    objects within on_lane(margin=1) of the query lane, split by longitudinal
-    coordinate relative to the querying vehicle.
-
-    Returns (front_idx, front_exists, rear_idx, rear_exists), all (V,).
-    """
+    geo: LaneGeometry,
+    state: VehicleState,
+    query_lane: jnp.ndarray,
+    table_s: jnp.ndarray,
+    index: LaneIndexStruct,
+) -> Neighbours:
+    """Front/rear object of each vehicle projected on its query lane."""
     V = state.num_slots
-    s_self, _ = lane_ops.local_coordinates(geo, query_lane, state.pos)
+    self_idx = _self_idx(state)
+    s_self = lane_ops.table_lookup(table_s, self_idx, query_lane)
+    col = jnp.clip(query_lane, 0, geo.num_lanes - 1)
 
-    # project every object j on every row's query lane: (V, V)
-    s, lat = lane_ops.local_coordinates(
-        geo, query_lane[..., :, None], state.pos[..., None, :, :]
+    # lower_bound of s_self in the query lane's sorted column
+    lo = jnp.zeros_like(query_lane)
+    hi = jnp.full_like(query_lane, V)
+    n_iter = max(1, (V).bit_length())
+    for _ in range(n_iter):
+        mid = (lo + hi) // 2
+        val = _column_lookup(index.sorted_s, jnp.minimum(mid, V - 1), col)
+        go_right = (val < s_self) & (mid < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    pos = lo  # first sorted index with s >= s_self (or V)
+
+    def entry(p):
+        pc = jnp.clip(p, 0, V - 1)
+        idx = _column_lookup(index.order, pc, col)
+        s = _column_lookup(index.sorted_s, pc, col)
+        return idx, s
+
+    idx0, s0 = entry(pos)
+    is_self0 = idx0 == self_idx
+    front_pos = jnp.where(is_self0, pos + 1, pos)
+    front_idx, front_s = entry(front_pos)
+    front_ex = (front_pos < V) & jnp.isfinite(front_s)
+    # self may sit later in an equal-s run; the reference would still pick the
+    # first equal-s non-self entry, which is what pos yields unless pos IS
+    # self (then the next entry is the correct front).
+
+    rear_pos = pos - 1
+    rear_idx, rear_s = entry(rear_pos)
+    # the entry below the lower bound can still be self only if s==s_self and
+    # ordering placed self below pos, which lower_bound excludes; guard anyway
+    is_self_r = rear_idx == self_idx
+    rear_pos = jnp.where(is_self_r, rear_pos - 1, rear_pos)
+    rear_idx, rear_s = entry(rear_pos)
+    rear_ex = (rear_pos >= 0) & jnp.isfinite(rear_s)
+
+    return Neighbours(
+        front_idx.astype(jnp.int32),
+        front_ex,
+        rear_idx.astype(jnp.int32),
+        rear_ex,
+        s_self,
     )
-    on = lane_ops.on_lane(geo, query_lane[..., :, None], s, lat, margin=1.0)
-    eye = jnp.eye(V, dtype=bool)
-    cand = (
-        on
-        & state.active[..., None, :]
-        & (state.kind != KIND_LANDMARK)[..., None, :]
-        & ~eye
-    )
-
-    front_ok = cand & (s >= s_self[..., :, None])
-    rear_ok = cand & (s < s_self[..., :, None])
-
-    s_front = jnp.where(front_ok, s, jnp.inf)
-    front_idx = jnp.argmin(s_front, axis=-1).astype(jnp.int32)
-    front_exists = jnp.any(front_ok, axis=-1)
-
-    s_rear = jnp.where(rear_ok, s, -jnp.inf)
-    rear_idx = jnp.argmax(s_rear, axis=-1).astype(jnp.int32)
-    rear_exists = jnp.any(rear_ok, axis=-1)
-
-    return front_idx, front_exists, rear_idx, rear_exists
 
 
 # --------------------------------------------------------------------------- #
@@ -102,6 +179,7 @@ def _accel_pair(
     geo: LaneGeometry,
     p: IDMParams,
     state: VehicleState,
+    table_s: jnp.ndarray,
     delta_decider: jnp.ndarray,
     ego_idx: jnp.ndarray,
     ego_exists: jnp.ndarray,
@@ -133,23 +211,19 @@ def _accel_pair(
         )
     )
 
-    # gap on the ego's current lane (objects.py:183-198)
-    ego_pos = jnp.take_along_axis(state.pos, ego_idx[..., None], axis=-2)
-    front_pos = jnp.take_along_axis(state.pos, front_idx[..., None], axis=-2)
-    s_e, _ = lane_ops.local_coordinates(geo, ego_lane, ego_pos)
-    s_f, _ = lane_ops.local_coordinates(geo, ego_lane, front_pos)
+    # gap on the ego's current lane (objects.py:183-198), via the table
+    s_e = lane_ops.table_lookup(table_s, ego_idx, ego_lane)
+    s_f = lane_ops.table_lookup(table_s, front_idx, ego_lane)
     d = s_f - s_e
 
     # desired gap (behavior.py:192-217), projected relative speed
     ego_head = take(state.heading, ego_idx)
-    ego_dir = jnp.stack([jnp.cos(ego_head), jnp.sin(ego_head)], axis=-1)
+    ego_dir_x, ego_dir_y = jnp.cos(ego_head), jnp.sin(ego_head)
     front_head = take(state.heading, front_idx)
     front_speed = take(state.speed, front_idx)
-    front_vel = front_speed[..., None] * jnp.stack(
-        [jnp.cos(front_head), jnp.sin(front_head)], axis=-1
-    )
-    ego_vel = ego_speed[..., None] * ego_dir
-    dv = jnp.einsum("...d,...d->...", ego_vel - front_vel, ego_dir)
+    dvx = ego_speed * ego_dir_x - front_speed * jnp.cos(front_head)
+    dvy = ego_speed * ego_dir_y - front_speed * jnp.sin(front_head)
+    dv = dvx * ego_dir_x + dvy * ego_dir_y
 
     ab = -p.comfort_acc_max * p.comfort_acc_min
     d_star = (
@@ -174,47 +248,49 @@ def _mobil(
     p: IDMParams,
     state: VehicleState,
     cand_lane: jnp.ndarray,
-    neigh_cur,
-    self_idx: jnp.ndarray,
+    neigh_cur: Neighbours,
+    table_s: jnp.ndarray,
+    index: LaneIndexStruct,
 ):
     """Vectorized IDMVehicle.mobil (behavior.py:265-324). Returns (V,) bool."""
-    op_idx, op_ex, of_idx, of_ex = neigh_cur
-    np_idx, np_ex, nf_idx, nf_ex = neighbours(geo, state, cand_lane)
+    self_idx = _self_idx(state)
+    n_new = neighbours(geo, state, cand_lane, table_s, index)
+    np_idx, np_ex = n_new.front_idx, n_new.front_ex
+    nf_idx, nf_ex = n_new.rear_idx, n_new.rear_ex
+    op_idx, op_ex = neigh_cur.front_idx, neigh_cur.front_ex
+    of_idx, of_ex = neigh_cur.rear_idx, neigh_cur.rear_ex
     true_mask = jnp.ones_like(np_ex)
 
     delta_i = state.delta
 
-    a_nf = _accel_pair(geo, p, state, delta_i, nf_idx, nf_ex, np_idx, np_ex)
-    a_nf_pred = _accel_pair(geo, p, state, delta_i, nf_idx, nf_ex, self_idx, true_mask)
+    def acc(ego_idx, ego_ex, front_idx, front_ex):
+        return _accel_pair(
+            geo, p, state, table_s, delta_i, ego_idx, ego_ex, front_idx, front_ex
+        )
+
+    a_nf = acc(nf_idx, nf_ex, np_idx, np_ex)
+    a_nf_pred = acc(nf_idx, nf_ex, self_idx, true_mask)
     safe = a_nf_pred >= -p.lane_change_max_braking_imposed
 
-    a_self_pred = _accel_pair(
-        geo, p, state, delta_i, self_idx, true_mask, np_idx, np_ex
-    )
+    a_self_pred = acc(self_idx, true_mask, np_idx, np_ex)
 
     # route-directed branch (behavior.py:287-298)
     R = state.route_base.shape[-1]
     ptr = jnp.clip(state.route_ptr, 0, R - 1)
     head_id = jnp.take_along_axis(state.route_id, ptr[..., None], axis=-1)[..., 0]
     has_route_id = (state.route_ptr < state.route_len) & (head_id >= 0)
-    head_base = jnp.take_along_axis(state.route_base, ptr[..., None], axis=-1)[..., 0]
-    route_abs_id = head_base + head_id  # not used for sign test; ids are local
-    del route_abs_id
 
-    tgt_li = lane_ops._gather(geo, state.target_lane)
-    tgt_id = geo.lane_id[tgt_li]
+    tgt_id = geo.lane_id[lane_ops._gather(geo, state.target_lane)]
     cand_id = geo.lane_id[lane_ops._gather(geo, cand_lane)]
     sign_ok = jnp.sign(cand_id - tgt_id) == jnp.sign(head_id - tgt_id)
     route_ok = sign_ok & (a_self_pred >= -p.lane_change_max_braking_imposed)
 
     # incentive branch (behavior.py:300-321)
-    a_self = _accel_pair(geo, p, state, delta_i, self_idx, true_mask, op_idx, op_ex)
-    a_of = _accel_pair(geo, p, state, delta_i, of_idx, of_ex, self_idx, true_mask)
-    a_of_pred = _accel_pair(geo, p, state, delta_i, of_idx, of_ex, op_idx, op_ex)
+    a_self = acc(self_idx, true_mask, op_idx, op_ex)
+    a_of = acc(of_idx, of_ex, self_idx, true_mask)
+    a_of_pred = acc(of_idx, of_ex, op_idx, op_ex)
     jerk = (
-        a_self_pred
-        - a_self
-        + p.politeness * (a_nf_pred - a_nf + a_of_pred - a_of)
+        a_self_pred - a_self + p.politeness * (a_nf_pred - a_nf + a_of_pred - a_of)
     )
     jerk_ok = jerk >= p.lane_change_min_acc_gain
 
@@ -222,45 +298,48 @@ def _mobil(
 
 
 def change_lane_policy(
-    geo: LaneGeometry, p: IDMParams, state: VehicleState
-) -> VehicleState:
+    geo: LaneGeometry,
+    p: IDMParams,
+    state: VehicleState,
+    table_s: jnp.ndarray,
+    table_lat: jnp.ndarray,
+    index: LaneIndexStruct,
+):
     """Vectorized IDMVehicle.change_lane_policy (behavior.py:219-263).
 
     Updates target_lane and the MOBIL timer for IDM vehicles.
     """
-    V = state.num_slots
     idm = (state.kind == KIND_IDM) & ~state.crashed
-    self_idx = jnp.broadcast_to(
-        jnp.arange(V, dtype=jnp.int32), state.kind.shape
-    )
+    self_idx = _self_idx(state)
 
     li = lane_ops._gather(geo, state.lane)
     tli = lane_ops._gather(geo, state.target_lane)
     mid_change = state.lane != state.target_lane
     same_road = geo.edge_base[li] == geo.edge_base[tli]
 
+    neigh_cur = neighbours(geo, state, state.lane, table_s, index)
+
     # ---- abort-on-conflict while mid-change (behavior.py:229-243) -------- #
     # another controlled vehicle (not on our target lane) targets our target
     # lane at an unsafe gap ahead of us, measured on our current lane.
-    s_pairs, _ = lane_ops.local_coordinates(
-        geo, state.lane[..., :, None], state.pos[..., None, :, :]
-    )  # s of j on lane_i
-    s_self = jnp.take_along_axis(
-        s_pairs, self_idx[..., :, None], axis=-1
-    )[..., 0]
-    d_ij = s_pairs - s_self[..., :, None]
-
-    dv_ij = jnp.einsum(
-        "...ijd,...id->...ij",
-        state.velocity[..., :, None, :] - state.velocity[..., None, :, :],
-        state.direction,
-    )
+    # (the one remaining O(V^2) interaction in the decision pass; a single
+    # one-hot matmul + fused mask chain)
+    s_pairs = lane_ops.pair_project(table_s, state.lane)
+    d_ij = s_pairs - neigh_cur.s_self[..., :, None]
+    dvx = state.velocity[..., 0]
+    dvy = state.velocity[..., 1]
+    dirx = state.direction[..., 0]
+    diry = state.direction[..., 1]
+    dv_ij = (dvx[..., :, None] - dvx[..., None, :]) * dirx[..., :, None] + (
+        dvy[..., :, None] - dvy[..., None, :]
+    ) * diry[..., :, None]
     ab = -p.comfort_acc_max * p.comfort_acc_min
     d_star_ij = (
         p.distance_wanted
         + state.speed[..., :, None] * p.time_wanted
         + state.speed[..., :, None] * dv_ij / (2 * jnp.sqrt(ab))
     )
+    V = state.num_slots
     eye = jnp.eye(V, dtype=bool)
     conflict = (
         ~eye
@@ -282,19 +361,27 @@ def change_lane_policy(
     edge_n = geo.edge_n[li]
     moving = jnp.abs(state.speed) >= 1.0
 
-    neigh_cur = neighbours(geo, state, state.lane)
-
     target = state.target_lane
     for delta_id in (-1, 1):  # side_lanes order: left then right (road.py:200-211)
         cand_id = lane_id + delta_id
         exists = (cand_id >= 0) & (cand_id < edge_n)
         cand = jnp.clip(edge_base + cand_id, 0, geo.num_lanes - 1)
+        # is_reachable_from via the table (road/lane.py:104-118)
+        s_c = lane_ops.table_lookup(table_s, self_idx, cand)
+        lat_c = lane_ops.table_lookup(table_lat, self_idx, cand)
+        cli = lane_ops._gather(geo, cand)
+        reachable = (
+            (jnp.abs(lat_c) <= 2 * geo.width[cli])
+            & (0 <= s_c)
+            & (s_c < geo.length[cli] + VEHICLE_LENGTH)
+            & ~geo.forbidden[cli]
+        )
         ok = (
             deciding
             & exists
-            & lane_ops.is_reachable_from(geo, cand, state.pos)
+            & reachable
             & moving
-            & _mobil(geo, p, state, cand, neigh_cur, self_idx)
+            & _mobil(geo, p, state, cand, neigh_cur, table_s, index)
         )
         target = jnp.where(ok, cand, target)
 
@@ -303,32 +390,43 @@ def change_lane_policy(
 
 
 def idm_act(
-    geo: LaneGeometry, p: IDMParams, state: VehicleState
-) -> tuple[VehicleState, jnp.ndarray, jnp.ndarray]:
+    geo: LaneGeometry,
+    p: IDMParams,
+    state: VehicleState,
+    table_s: jnp.ndarray,
+    table_lat: jnp.ndarray,
+):
     """Full IDM/MOBIL decision pass (IDMVehicle.act, behavior.py:93-137).
 
     Returns the state with updated target lanes/timers plus the computed
     (steering, accel) for IDM vehicles (callers mask them in).
     """
-    state, neigh_cur = change_lane_policy(geo, p, state)
-
-    steering = controller.steering_control(
-        geo, state.target_lane, state.pos, state.heading, state.speed, state.length
+    index = build_lane_index(geo, state, table_s, table_lat)
+    state, neigh_cur = change_lane_policy(
+        geo, p, state, table_s, table_lat, index
     )
-    steering = jnp.clip(steering, -controller.MAX_STEERING_ANGLE, controller.MAX_STEERING_ANGLE)
 
-    V = state.num_slots
-    self_idx = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), state.kind.shape)
+    steering = controller.steering_control_from_table(
+        geo, state.target_lane, state, table_s, table_lat
+    )
+    steering = jnp.clip(
+        steering, -controller.MAX_STEERING_ANGLE, controller.MAX_STEERING_ANGLE
+    )
+
+    self_idx = _self_idx(state)
     true_mask = jnp.ones_like(state.crashed)
 
-    f_idx, f_ex, _r_idx, _r_ex = neigh_cur
-    accel = _accel_pair(geo, p, state, state.delta, self_idx, true_mask, f_idx, f_ex)
+    accel = _accel_pair(
+        geo, p, state, table_s, state.delta, self_idx, true_mask,
+        neigh_cur.front_idx, neigh_cur.front_ex,
+    )
 
     # dual-lane IDM while mid-change (behavior.py:121-131)
     mid = state.lane != state.target_lane
-    tf_idx, tf_ex, _tr_idx, _tr_ex = neighbours(geo, state, state.target_lane)
+    n_t = neighbours(geo, state, state.target_lane, table_s, index)
     accel_t = _accel_pair(
-        geo, p, state, state.delta, self_idx, true_mask, tf_idx, tf_ex
+        geo, p, state, table_s, state.delta, self_idx, true_mask,
+        n_t.front_idx, n_t.front_ex,
     )
     accel = jnp.where(mid, jnp.minimum(accel, accel_t), accel)
     accel = jnp.clip(accel, -p.acc_max, p.acc_max)

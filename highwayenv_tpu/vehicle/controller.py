@@ -43,6 +43,37 @@ def steering_control(
 ) -> jnp.ndarray:
     """P-cascade lateral controller (vehicle/controller.py:145-187)."""
     s, lat = lane_ops.local_coordinates(geo, target_lane, pos)
+    return steering_from_coords(
+        geo, target_lane, s, lat, heading, speed, vehicle_length
+    )
+
+
+def steering_control_from_table(
+    geo: LaneGeometry,
+    target_lane: jnp.ndarray,
+    state,
+    table_s: jnp.ndarray,
+    table_lat: jnp.ndarray,
+) -> jnp.ndarray:
+    """steering_control with (s, lat) read from the projection table."""
+    V = state.num_slots
+    self_idx = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), state.kind.shape)
+    s = lane_ops.table_lookup(table_s, self_idx, target_lane)
+    lat = lane_ops.table_lookup(table_lat, self_idx, target_lane)
+    return steering_from_coords(
+        geo, target_lane, s, lat, state.heading, state.speed, state.length
+    )
+
+
+def steering_from_coords(
+    geo: LaneGeometry,
+    target_lane: jnp.ndarray,
+    s: jnp.ndarray,
+    lat: jnp.ndarray,
+    heading: jnp.ndarray,
+    speed: jnp.ndarray,
+    vehicle_length: jnp.ndarray,
+) -> jnp.ndarray:
     s_next = s + speed * TAU_PURSUIT
     lane_future_heading = lane_ops.heading_at(geo, target_lane, s_next)
 
@@ -119,6 +150,7 @@ def next_lane(
     state: VehicleState,
     cur_lane: jnp.ndarray,
     max_edge_lanes: int,
+    s: jnp.ndarray | None = None,
 ):
     """Index of the lane to follow after the current one ends.
 
@@ -131,7 +163,8 @@ def next_lane(
     when it matches the finishing road).
     """
     li = lane_ops._gather(geo, cur_lane)
-    s, _lat = lane_ops.local_coordinates(geo, cur_lane, state.pos)
+    if s is None:
+        s, _lat = lane_ops.local_coordinates(geo, cur_lane, state.pos)
     projected = lane_ops.position(geo, cur_lane, s, jnp.zeros_like(s))
 
     # --- route handling -------------------------------------------------- #
@@ -187,12 +220,22 @@ def next_lane(
 
 
 def follow_road(
-    geo: LaneGeometry, state: VehicleState, max_edge_lanes: int
+    geo: LaneGeometry,
+    state: VehicleState,
+    max_edge_lanes: int,
+    table_s: jnp.ndarray | None = None,
 ) -> VehicleState:
     """Advance target_lane at the end of a lane (vehicle/controller.py:135-143)."""
-    s, _ = lane_ops.local_coordinates(geo, state.target_lane, state.pos)
+    if table_s is not None:
+        V = state.num_slots
+        self_idx = jnp.broadcast_to(
+            jnp.arange(V, dtype=jnp.int32), state.kind.shape
+        )
+        s = lane_ops.table_lookup(table_s, self_idx, state.target_lane)
+    else:
+        s, _ = lane_ops.local_coordinates(geo, state.target_lane, state.pos)
     ended = lane_ops.after_end(geo, state.target_lane, s)
-    nxt, new_ptr = next_lane(geo, state, state.target_lane, max_edge_lanes)
+    nxt, new_ptr = next_lane(geo, state, state.target_lane, max_edge_lanes, s)
     apply = ended & state.is_controlled
     return state.replace(
         target_lane=jnp.where(apply, nxt, state.target_lane),
@@ -285,12 +328,20 @@ def apply_meta_action(
 
 
 def controlled_vehicle_controls(
-    geo: LaneGeometry, state: VehicleState
+    geo: LaneGeometry,
+    state: VehicleState,
+    table_s: jnp.ndarray | None = None,
+    table_lat: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Low-level controls for externally-actioned vehicles
     (vehicle/controller.py:126-133)."""
-    steering = steering_control(
-        geo, state.target_lane, state.pos, state.heading, state.speed, state.length
-    )
+    if table_s is not None:
+        steering = steering_control_from_table(
+            geo, state.target_lane, state, table_s, table_lat
+        )
+    else:
+        steering = steering_control(
+            geo, state.target_lane, state.pos, state.heading, state.speed, state.length
+        )
     accel = speed_control(state.target_speed, state.speed)
     return steering, accel
