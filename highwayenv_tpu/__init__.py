@@ -42,14 +42,18 @@ def registered_ids():
 
 
 def _register_all():
+    from highwayenv_tpu.envs.exit import ExitEnv
     from highwayenv_tpu.envs.highway import HighwayEnv, HighwayEnvFast
     from highwayenv_tpu.envs.merge import MergeEnv
     from highwayenv_tpu.envs.two_way import TwoWayEnv
+    from highwayenv_tpu.envs.u_turn import UTurnEnv
 
     register("highway-v0", HighwayEnv)
     register("highway-fast-v0", HighwayEnvFast)
     register("merge-v0", MergeEnv)
     register("two-way-v0", TwoWayEnv)
+    register("u-turn-v0", UTurnEnv)
+    register("exit-v0", ExitEnv)
 
 
 _register_all()

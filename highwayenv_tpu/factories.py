@@ -7,6 +7,7 @@ envs/common/action.py:336-347) so scenario configs are drop-in compatible.
 from __future__ import annotations
 
 from highwayenv_tpu.actions.discrete_meta import DiscreteMetaAction
+from highwayenv_tpu.observations.exit_obs import ExitObservation
 from highwayenv_tpu.observations.kinematics import KinematicsObservation
 from highwayenv_tpu.observations.ttc import TimeToCollisionObservation
 
@@ -17,6 +18,8 @@ def observation_factory(env, config: dict):
         return KinematicsObservation(**kwargs)
     if config["type"] == "TimeToCollision":
         return TimeToCollisionObservation(env, **kwargs)
+    if config["type"] == "ExitObservation":
+        return ExitObservation(**kwargs)
     raise ValueError(f"Unknown observation type: {config['type']}")
 
 

@@ -145,7 +145,10 @@ class KinematicsObservation:
             rows = jnp.where(rel, rows - ego_row[..., None, :], rows)
 
         rows = jnp.where(sel_ok[..., None], rows, 0.0)
-        obs = jnp.concatenate([ego_row[..., None, :], rows], axis=-2)
+        # the displayed ego row may differ from the world-frame row used for
+        # the relative subtraction above (ExitObservation overrides it)
+        ego_display = self._ego_row(geo, state, ego, ego_row)
+        obs = jnp.concatenate([ego_display[..., None, :], rows], axis=-2)
 
         if self.normalize:
             obs = self._normalize(geo, state, ego, obs)
@@ -156,6 +159,10 @@ class KinematicsObservation:
         )
         obs = jnp.where(row_ok[..., None], obs, 0.0)
         return obs.astype(jnp.float32)
+
+    def _ego_row(self, geo, state, ego, ego_row):
+        """Hook: the ego feature row as displayed (before normalization)."""
+        return ego_row
 
     def _normalize(self, geo, state, ego, obs):
         """observation.py:207-232."""

@@ -281,6 +281,31 @@ class RoadNetworkBuilder:
                     queue.append((nxt, path + [nxt]))
         return []
 
+    def route_arrays(self, start_index, destination: str, route_slots: int):
+        """Compile ControlledVehicle.plan_route_to (vehicle/controller.py:71-87)
+        into fixed-width route arrays.
+
+        The reference route is ``[lane_index] + [(path[i], path[i+1], None)]``
+        over the BFS node path from the current lane's end node.  Returns
+        (route_base, route_n, route_id, route_len) numpy arrays where each
+        segment stores its edge's global base lane id, lane count, and the
+        explicit lane id (-1 = reference ``None``).
+        """
+        _from, _to, _id = start_index
+        path = self.bfs_shortest_path(_to, destination)
+        route = [start_index]
+        if path:
+            route += [(path[i], path[i + 1], None) for i in range(len(path) - 1)]
+        base = np.full(route_slots, -1, np.int32)
+        n = np.zeros(route_slots, np.int32)
+        rid = np.full(route_slots, -1, np.int32)
+        for i, (f, t, lid) in enumerate(route[:route_slots]):
+            lanes = self._edges[(f, t)]
+            base[i] = self.global_lane_index((f, t, 0))
+            n[i] = len(lanes)
+            rid[i] = -1 if lid is None else int(lid)
+        return base, n, rid, min(len(route), route_slots)
+
     @staticmethod
     def straight_road_network(
         lanes: int = 4,

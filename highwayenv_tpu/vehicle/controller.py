@@ -90,7 +90,11 @@ def steering_from_coords(
             vehicle_length / 2 / not_zero(speed) * heading_rate_command, -1.0, 1.0
         )
     )
-    steering_angle = jnp.arctan(2 * jnp.tan(slip_angle))
+    # arctan(2 tan(slip)) rewritten as arctan2(2 sin, cos): identical on
+    # (-pi/2, pi/2) but safe at slip = +/- pi/2, where float32 tan() flips
+    # sign (the f32 nearest to pi/2 is slightly above it) and would steer
+    # hard the wrong way; the float64 reference never hits this.
+    steering_angle = jnp.arctan2(2 * jnp.sin(slip_angle), jnp.cos(slip_angle))
     return jnp.clip(steering_angle, -MAX_STEERING_ANGLE, MAX_STEERING_ANGLE)
 
 

@@ -37,7 +37,8 @@ def ref_to_vehicle_state(ref_env, tpu_env):
     V = tpu_env.num_slots
     assert len(objs) <= V, (len(objs), V)
 
-    st = empty_state(V)
+    R = getattr(tpu_env, "route_slots", 1)
+    st = empty_state(V, route_slots=R)
     get = lambda arr: np.asarray(arr).copy()
     pos = get(st.pos)
     heading = get(st.heading)
@@ -59,8 +60,20 @@ def ref_to_vehicle_state(ref_env, tpu_env):
 
     net = tpu_env.net
     controlled = set(id(v) for v in ref_env.unwrapped.controlled_vehicles)
+    route_base = get(st.route_base)
+    route_n = get(st.route_n)
+    route_id = get(st.route_id)
+    route_len = get(st.route_len)
 
     for i, v in enumerate(objs):
+        route = getattr(v, "route", None)
+        if route:
+            assert len(route) <= R, (len(route), R)
+            for j, (f, t, lid) in enumerate(route):
+                route_base[i, j] = net.global_lane_index((f, t, 0))
+                route_n[i, j] = len(net.lanes_on_edge(f, t))
+                route_id[i, j] = -1 if lid is None else int(lid)
+            route_len[i] = len(route)
         pos[i] = v.position
         heading[i] = v.heading
         speed[i] = v.speed
@@ -112,6 +125,10 @@ def ref_to_vehicle_state(ref_env, tpu_env):
         width=jnp.asarray(width, jnp.float32),
         check_collisions=jnp.asarray(check_collisions),
         enable_lane_change=jnp.asarray(enable_lane_change),
+        route_base=jnp.asarray(route_base),
+        route_n=jnp.asarray(route_n),
+        route_id=jnp.asarray(route_id),
+        route_len=jnp.asarray(route_len),
     )
 
 
