@@ -46,6 +46,7 @@ def _register_all():
     from highwayenv_tpu.envs.highway import HighwayEnv, HighwayEnvFast
     from highwayenv_tpu.envs.merge import MergeEnv
     from highwayenv_tpu.envs.two_way import TwoWayEnv
+    from highwayenv_tpu.envs.roundabout import RoundaboutEnv
     from highwayenv_tpu.envs.u_turn import UTurnEnv
 
     register("highway-v0", HighwayEnv)
@@ -54,6 +55,7 @@ def _register_all():
     register("two-way-v0", TwoWayEnv)
     register("u-turn-v0", UTurnEnv)
     register("exit-v0", ExitEnv)
+    register("roundabout-v0", RoundaboutEnv)
 
 
 _register_all()

@@ -71,21 +71,29 @@ class RoundaboutEnv(BaseEnv):
         radii = [radius, radius + 4.0]
         n, c, s = LineType.NONE, LineType.CONTINUOUS, LineType.STRIPED
         line = [[c, s], [n, c]]
-        # 8 arcs x 2 lanes; node ring se->ex->ee->nx->ne->wx->we->sx->se
-        ring = ["se", "ex", "ee", "nx", "ne", "wx", "we", "sx", "se"]
-        phases = [90 - alpha, alpha, -alpha, -90 + alpha, -90 - alpha,
-                  -180 + alpha, -180 - alpha, 180 - alpha, 90 + alpha]
+        # 8 arcs x 2 lanes; node ring se->ex->ee->nx->ne->wx->we->sx->se with
+        # the reference's exact phase pairs (note the +/-180 wrap on we->sx)
+        arcs = [
+            ("se", "ex", 90 - alpha, alpha),
+            ("ex", "ee", alpha, -alpha),
+            ("ee", "nx", -alpha, -90 + alpha),
+            ("nx", "ne", -90 + alpha, -90 - alpha),
+            ("ne", "wx", -90 - alpha, -180 + alpha),
+            ("wx", "we", -180 + alpha, -180 - alpha),
+            ("we", "sx", 180 - alpha, 90 + alpha),
+            ("sx", "se", 90 + alpha, 90 - alpha),
+        ]
         # the reference interleaves per-lane; edge grouping here keeps both
         # lanes of an arc contiguous (global-id layout differs, graph matches)
-        for a_i in range(8):
+        for f, t, p0, p1 in arcs:
             for lane in (0, 1):
                 net.add_lane(
-                    ring[a_i], ring[a_i + 1],
+                    f, t,
                     CircularLane(
                         center,
                         radii[lane],
-                        np.deg2rad(phases[a_i]),
-                        np.deg2rad(phases[a_i + 1]),
+                        np.deg2rad(p0),
+                        np.deg2rad(p1),
                         clockwise=False,
                         line_types=line[lane],
                     ),
@@ -146,7 +154,8 @@ class RoundaboutEnv(BaseEnv):
         self.geo = net.build()
         self.max_edge_lanes = 2
         self.num_slots = 5
-        self.route_slots = 8
+        # longest route: ("eer","ees") around the ring to "exr" = 11 segments
+        self.route_slots = 11
 
         # spawn stations (roundabout_env.py:327-395)
         self._spawns = [
