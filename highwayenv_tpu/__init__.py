@@ -46,6 +46,11 @@ def _register_all():
     from highwayenv_tpu.envs.highway import HighwayEnv, HighwayEnvFast
     from highwayenv_tpu.envs.merge import MergeEnv
     from highwayenv_tpu.envs.two_way import TwoWayEnv
+    from highwayenv_tpu.envs.parking import (
+        ParkingEnv,
+        ParkingEnvActionRepeat,
+        ParkingEnvParkedVehicles,
+    )
     from highwayenv_tpu.envs.roundabout import RoundaboutEnv
     from highwayenv_tpu.envs.u_turn import UTurnEnv
 
@@ -56,6 +61,9 @@ def _register_all():
     register("u-turn-v0", UTurnEnv)
     register("exit-v0", ExitEnv)
     register("roundabout-v0", RoundaboutEnv)
+    register("parking-v0", ParkingEnv)
+    register("parking-ActionRepeat-v0", ParkingEnvActionRepeat)
+    register("parking-parked-v0", ParkingEnvParkedVehicles)
 
 
 _register_all()

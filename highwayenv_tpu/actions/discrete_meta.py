@@ -20,6 +20,9 @@ ACTIONS_LAT = {0: "LANE_LEFT", 1: "IDLE", 2: "LANE_RIGHT"}
 
 
 class DiscreteMetaAction:
+    stores_raw_controls = False  # egos run the ControlledVehicle P-cascade
+    action_shape = ()
+
     def __init__(
         self,
         longitudinal: bool = True,

@@ -162,8 +162,24 @@ class BaseEnv:
     # fused simulation frame
     # ------------------------------------------------------------------ #
     def _action_to_slots(self, action) -> jnp.ndarray:
-        """Scatter the agent action(s) to a per-slot (..., V) int32 array."""
+        """Scatter the agent action(s) to a per-slot array.
+
+        Discrete action types: scalar per agent -> (..., V) int32.
+        Continuous: (size,) floats per agent -> (..., V, size) float32.
+        """
         V = self.num_slots
+        extra = getattr(self.action_type, "action_shape", ())
+        if extra:  # vector (continuous) action
+            action = jnp.asarray(action, jnp.float32)
+            if len(self.ego_slots) == 1:
+                batch = action.shape[: action.ndim - 1]
+                slots = jnp.zeros(batch + (V,) + extra, jnp.float32)
+                return slots.at[..., self.ego_slots[0], :].set(action)
+            batch = action.shape[: action.ndim - 2]
+            slots = jnp.zeros(batch + (V,) + extra, jnp.float32)
+            for k, slot in enumerate(self.ego_slots):
+                slots = slots.at[..., slot, :].set(action[..., k, :])
+            return slots
         action = jnp.asarray(action, jnp.int32)
         if len(self.ego_slots) == 1:
             slots = jnp.zeros(action.shape + (V,), jnp.int32)
@@ -199,10 +215,12 @@ class BaseEnv:
         ego_mask = (veh.kind == KIND_EGO) & first
         veh = self.action_type.apply(geo, veh, ego_mask, slot_actions)
 
-        # low-level controls for externally-actioned vehicles
-        ego_steer, ego_acc = controller.controlled_vehicle_controls(
-            geo, veh, table_s, table_lat
-        )
+        raw_controls = getattr(self.action_type, "stores_raw_controls", False)
+        if not raw_controls:
+            # low-level controls for externally-actioned vehicles
+            ego_steer, ego_acc = controller.controlled_vehicle_controls(
+                geo, veh, table_s, table_lat
+            )
 
         # IDM/MOBIL NPC decisions (sees the ego's fresh targets, matching the
         # reference's act() list order with the ego first)
@@ -212,12 +230,21 @@ class BaseEnv:
 
         is_ego = veh.kind == KIND_EGO
         is_idm = (veh.kind == KIND_IDM) & ~veh.crashed
-        veh = veh.replace(
-            steering=jnp.where(
-                is_ego, ego_steer, jnp.where(is_idm, idm_steer, veh.steering)
-            ),
-            accel=jnp.where(is_ego, ego_acc, jnp.where(is_idm, idm_acc, veh.accel)),
-        )
+        if raw_controls:
+            # ContinuousAction egos keep their stored commands (action.py:160)
+            veh = veh.replace(
+                steering=jnp.where(is_idm, idm_steer, veh.steering),
+                accel=jnp.where(is_idm, idm_acc, veh.accel),
+            )
+        else:
+            veh = veh.replace(
+                steering=jnp.where(
+                    is_ego, ego_steer, jnp.where(is_idm, idm_steer, veh.steering)
+                ),
+                accel=jnp.where(
+                    is_ego, ego_acc, jnp.where(is_idm, idm_acc, veh.accel)
+                ),
+            )
 
         veh = kinematics.integrate(veh, self.dt)
 

@@ -6,9 +6,11 @@ envs/common/action.py:336-347) so scenario configs are drop-in compatible.
 
 from __future__ import annotations
 
+from highwayenv_tpu.actions.continuous import ContinuousAction, DiscreteAction
 from highwayenv_tpu.actions.discrete_meta import DiscreteMetaAction
 from highwayenv_tpu.observations.exit_obs import ExitObservation
 from highwayenv_tpu.observations.kinematics import KinematicsObservation
+from highwayenv_tpu.observations.kinematics_goal import KinematicsGoalObservation
 from highwayenv_tpu.observations.ttc import TimeToCollisionObservation
 
 
@@ -20,6 +22,8 @@ def observation_factory(env, config: dict):
         return TimeToCollisionObservation(env, **kwargs)
     if config["type"] == "ExitObservation":
         return ExitObservation(**kwargs)
+    if config["type"] == "KinematicsGoal":
+        return KinematicsGoalObservation(env, **kwargs)
     raise ValueError(f"Unknown observation type: {config['type']}")
 
 
@@ -27,4 +31,8 @@ def action_factory(config: dict):
     kwargs = {k: v for k, v in config.items() if k != "type"}
     if config["type"] == "DiscreteMetaAction":
         return DiscreteMetaAction(**kwargs)
+    if config["type"] == "ContinuousAction":
+        return ContinuousAction(**kwargs)
+    if config["type"] == "DiscreteAction":
+        return DiscreteAction(**kwargs)
     raise ValueError(f"Unknown action type: {config['type']}")

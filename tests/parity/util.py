@@ -92,8 +92,11 @@ def ref_to_vehicle_state(ref_env, tpu_env):
             delta[i] = v.DELTA
             timer[i] = v.timer
             enable_lane_change[i] = v.enable_lane_change
+        elif id(v) in controlled:
+            # includes plain-Vehicle egos (ContinuousAction envs)
+            kind[i] = KIND_EGO
         elif isinstance(v, ref_controller.ControlledVehicle):
-            kind[i] = KIND_EGO if id(v) in controlled else KIND_PLAIN
+            kind[i] = KIND_PLAIN
         else:
             kind[i] = KIND_PLAIN
         if hasattr(v, "target_lane_index") and v.target_lane_index is not None:
