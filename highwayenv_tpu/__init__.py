@@ -51,6 +51,7 @@ def _register_all():
         ParkingEnvActionRepeat,
         ParkingEnvParkedVehicles,
     )
+    from highwayenv_tpu.envs.racetrack import RacetrackEnv
     from highwayenv_tpu.envs.roundabout import RoundaboutEnv
     from highwayenv_tpu.envs.u_turn import UTurnEnv
 
@@ -64,6 +65,7 @@ def _register_all():
     register("parking-v0", ParkingEnv)
     register("parking-ActionRepeat-v0", ParkingEnvActionRepeat)
     register("parking-parked-v0", ParkingEnvParkedVehicles)
+    register("racetrack-v0", RacetrackEnv)
 
 
 _register_all()

@@ -11,6 +11,7 @@ from highwayenv_tpu.actions.discrete_meta import DiscreteMetaAction
 from highwayenv_tpu.observations.exit_obs import ExitObservation
 from highwayenv_tpu.observations.kinematics import KinematicsObservation
 from highwayenv_tpu.observations.kinematics_goal import KinematicsGoalObservation
+from highwayenv_tpu.observations.occupancy_grid import OccupancyGridObservation
 from highwayenv_tpu.observations.ttc import TimeToCollisionObservation
 
 
@@ -24,6 +25,8 @@ def observation_factory(env, config: dict):
         return ExitObservation(**kwargs)
     if config["type"] == "KinematicsGoal":
         return KinematicsGoalObservation(env, **kwargs)
+    if config["type"] == "OccupancyGrid":
+        return OccupancyGridObservation(**kwargs)
     raise ValueError(f"Unknown observation type: {config['type']}")
 
 

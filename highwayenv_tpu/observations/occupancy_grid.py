@@ -1,0 +1,173 @@
+"""Occupancy-grid observation as vectorized scatter kernels.
+
+Rebuild of ``OccupancyGridObservation`` (envs/common/observation.py:279-499):
+  - vehicle feature layers: per-vehicle cell indices (optionally rotated into
+    the ego frame), first-vehicle-wins priority via argmax over a one-hot
+    cell-occupancy tensor (the reference iterates rows in reverse so earlier
+    vehicles overwrite later ones);
+  - ``on_road`` layer: the reference's lane-waypoint rasterization
+    (fill_road_layer_by_lanes, observation.py:457-478) as a masked scatter-max
+    over an (L, n_waypoints) grid of lane samples around the observer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from highwayenv_tpu.road import lane as lane_ops
+from highwayenv_tpu.road.lane import LaneGeometry
+from highwayenv_tpu.utils.math import lmap
+from highwayenv_tpu.vehicle.state import MAX_SPEED, VehicleState
+
+DEFAULT_FEATURES = ("presence", "vx", "vy", "on_road")
+DEFAULT_GRID_SIZE = ((-5.5 * 5, 5.5 * 5), (-5.5 * 5, 5.5 * 5))
+DEFAULT_GRID_STEP = (5, 5)
+LANE_PERCEPTION_DISTANCE = 100.0
+
+
+class OccupancyGridObservation:
+    def __init__(
+        self,
+        features=None,
+        grid_size=None,
+        grid_step=None,
+        features_range: dict | None = None,
+        absolute: bool = False,
+        align_to_vehicle_axes: bool = False,
+        clip: bool = True,
+        as_image: bool = False,
+        **kwargs,
+    ):
+        if absolute:
+            raise NotImplementedError("absolute occupancy grid (reference parity)")
+        self.features = tuple(features) if features else DEFAULT_FEATURES
+        self.grid_size = np.asarray(
+            grid_size if grid_size is not None else DEFAULT_GRID_SIZE, np.float32
+        )
+        self.grid_step = np.asarray(
+            grid_step if grid_step is not None else DEFAULT_GRID_STEP, np.float32
+        )
+        self.grid_shape = tuple(
+            np.floor(
+                (self.grid_size[:, 1] - self.grid_size[:, 0]) / self.grid_step
+            ).astype(int)
+        )
+        self.features_range = features_range or {
+            "vx": [-2 * MAX_SPEED, 2 * MAX_SPEED],
+            "vy": [-2 * MAX_SPEED, 2 * MAX_SPEED],
+        }
+        self.align_to_vehicle_axes = align_to_vehicle_axes
+        self.clip = clip
+        self.as_image = as_image
+
+    @property
+    def shape(self):
+        return (len(self.features),) + self.grid_shape
+
+    def space(self):
+        from gymnasium import spaces
+
+        if self.as_image:
+            return spaces.Box(shape=self.shape, low=0, high=255, dtype=np.uint8)
+        return spaces.Box(
+            shape=self.shape, low=-np.inf, high=np.inf, dtype=np.float32
+        )
+
+    # ------------------------------------------------------------------ #
+    def _cell_of(self, rel_pos: jnp.ndarray, ego_heading: jnp.ndarray):
+        """pos_to_index (observation.py:417-436): (..., 2) -> (ci, cj)."""
+        if self.align_to_vehicle_axes:
+            c = jnp.cos(ego_heading)[..., None]
+            s = jnp.sin(ego_heading)[..., None]
+            x = c[..., 0] * rel_pos[..., 0] + s[..., 0] * rel_pos[..., 1]
+            y = -s[..., 0] * rel_pos[..., 0] + c[..., 0] * rel_pos[..., 1]
+        else:
+            x, y = rel_pos[..., 0], rel_pos[..., 1]
+        ci = jnp.floor((x - self.grid_size[0, 0]) / self.grid_step[0]).astype(
+            jnp.int32
+        )
+        cj = jnp.floor((y - self.grid_size[1, 0]) / self.grid_step[1]).astype(
+            jnp.int32
+        )
+        return ci, cj
+
+    def observe(
+        self, geo: LaneGeometry, state: VehicleState, ego: int
+    ) -> jnp.ndarray:
+        W, H = self.grid_shape
+        ego_pos = state.pos[..., ego, :]
+        ego_head = state.heading[..., ego]
+
+        # relative features (to_dict(origin), kinematics.py:237-261)
+        rel_pos = state.pos - ego_pos[..., None, :]
+        vel = state.velocity
+        rel_vel = vel - vel[..., ego, :][..., None, :]
+        cols = {
+            "presence": jnp.ones_like(state.speed),
+            "x": rel_pos[..., 0],
+            "y": rel_pos[..., 1],
+            "vx": rel_vel[..., 0],
+            "vy": rel_vel[..., 1],
+        }
+        for f, rng in self.features_range.items():
+            if f in cols:
+                cols[f] = lmap(cols[f], (rng[0], rng[1]), (-1.0, 1.0))
+
+        # cell of each vehicle (the reference indexes with unnormalized
+        # relative x, y: it un-lmaps them first, observation.py:374-390)
+        ci, cj = self._cell_of(rel_pos, ego_head)
+        in_grid = (0 <= ci) & (ci < W) & (0 <= cj) & (cj < H)
+        valid = in_grid & state.is_vehicle
+
+        # first-vehicle-wins priority: reference fills rows in reverse order
+        # so the earliest row ends up on top (observation.py:370-372)
+        flat = jnp.where(valid, ci * H + cj, -1)
+        onehot = flat[..., :, None] == jnp.arange(W * H)  # (V, WH)
+        occupied = jnp.any(onehot, axis=-2)
+        winner = jnp.argmax(onehot, axis=-2)  # first True wins
+
+        layers = []
+        for f in self.features:
+            if f == "on_road":
+                layers.append(self._road_layer(geo, state, ego))
+                continue
+            vals = cols[f]
+            cell_vals = jnp.take_along_axis(vals, winner, axis=-1)  # (WH,)
+            layer = jnp.where(occupied, cell_vals, 0.0)  # nan->0 at the end
+            layers.append(layer.reshape(layer.shape[:-1] + (W, H)))
+        obs = jnp.stack(layers, axis=-3)
+
+        if self.clip:
+            obs = jnp.clip(obs, -1.0, 1.0)
+        if self.as_image:
+            obs = ((jnp.clip(obs, -1.0, 1.0) + 1.0) / 2.0 * 255).astype(jnp.uint8)
+        return obs.astype(jnp.uint8 if self.as_image else jnp.float32)
+
+    def _road_layer(self, geo: LaneGeometry, state: VehicleState, ego: int):
+        """fill_road_layer_by_lanes (observation.py:457-478)."""
+        W, H = self.grid_shape
+        ego_pos = state.pos[..., ego, :]
+        ego_head = state.heading[..., ego]
+        L = geo.num_lanes
+        lanes = jnp.arange(L, dtype=jnp.int32)
+
+        spacing = float(np.amin(self.grid_step))
+        n_wp = int(np.ceil(2 * LANE_PERCEPTION_DISTANCE / spacing))
+        origin, _ = lane_ops.local_coordinates(geo, lanes, ego_pos[..., None, :])
+        offsets = jnp.arange(n_wp, dtype=jnp.float32) * spacing
+        s = origin[..., None] - LANE_PERCEPTION_DISTANCE + offsets  # (L, n_wp)
+        s = jnp.clip(s, 0.0, geo.length[lanes][..., None])
+        wp = lane_ops.position(
+            geo, lanes[..., None], s, jnp.zeros_like(s)
+        )  # (L, n_wp, 2)
+        rel = wp - ego_pos[..., None, None, :]
+        ci, cj = self._cell_of(
+            rel, ego_head[..., None]
+        )
+        ok = (0 <= ci) & (ci < W) & (0 <= cj) & (cj < H)
+        flat_idx = jnp.where(ok, ci * H + cj, W * H)  # W*H = out of range
+        fi = flat_idx.reshape(flat_idx.shape[:-2] + (-1,))
+        grid = jnp.zeros(fi.shape[:-1] + (W * H,), jnp.float32)
+        grid = grid.at[..., fi].max(jnp.ones_like(fi, jnp.float32), mode="drop")
+        return grid.reshape(grid.shape[:-1] + (W, H))
