@@ -51,6 +51,12 @@ def _register_all():
         ParkingEnvActionRepeat,
         ParkingEnvParkedVehicles,
     )
+    from highwayenv_tpu.envs.intersection import (
+        ContinuousIntersectionEnv,
+        IntersectionEnv,
+        MultiAgentIntersectionEnv,
+    )
+    from highwayenv_tpu.envs.lane_keeping import LaneKeepingEnv
     from highwayenv_tpu.envs.racetrack import RacetrackEnv
     from highwayenv_tpu.envs.roundabout import RoundaboutEnv
     from highwayenv_tpu.envs.u_turn import UTurnEnv
@@ -66,6 +72,10 @@ def _register_all():
     register("parking-ActionRepeat-v0", ParkingEnvActionRepeat)
     register("parking-parked-v0", ParkingEnvParkedVehicles)
     register("racetrack-v0", RacetrackEnv)
+    register("intersection-v0", IntersectionEnv)
+    register("intersection-v1", ContinuousIntersectionEnv)
+    register("intersection-multi-agent-v0", MultiAgentIntersectionEnv)
+    register("lane-keeping-v0", LaneKeepingEnv)
 
 
 _register_all()

@@ -83,10 +83,14 @@ class BaseEnv:
     # ------------------------------------------------------------------ #
     # build
     # ------------------------------------------------------------------ #
+    #: initial value of the frame counter (RegulatedRoad counts its warm-up
+    #: frames, so enforcement phase depends on it)
+    _initial_steps = 0
+
     def _build(self):
         self._build_scene()  # subclass: sets self.net / self.geo / slots
         self._build_spaces()
-        self.idm_params = IDMParams()
+        self.idm_params = self._idm_params()
         self.dt = 1.0 / self.config["simulation_frequency"]
         self.frames_per_step = int(
             self.config["simulation_frequency"] // self.config["policy_frequency"]
@@ -97,10 +101,13 @@ class BaseEnv:
     def _build_scene(self):
         raise NotImplementedError
 
+    def _idm_params(self) -> IDMParams:
+        return IDMParams()
+
     def _build_spaces(self):
         from highwayenv_tpu.factories import action_factory, observation_factory
 
-        self.action_type = action_factory(self.config["action"])
+        self.action_type = action_factory(self.config["action"], self)
         self.observation_type = observation_factory(self, self.config["observation"])
 
     @property
@@ -189,12 +196,17 @@ class BaseEnv:
             slots = slots.at[..., slot].set(action[..., k])
         return slots
 
+    #: subclasses set True to run the RegulatedRoad right-of-way pass
+    #: (road/regulation.py:36-40) inside the frame loop
+    regulated = False
+
     def _frame(
         self,
         veh: VehicleState,
         tables,
         slot_actions: jnp.ndarray,
         first: jnp.ndarray,
+        step_count: jnp.ndarray | None = None,
     ):
         """One simulation frame = road.act() + road.step(dt)
         (envs/common/abstract.py:287-317, road/road.py:464-481).
@@ -246,7 +258,47 @@ class BaseEnv:
                 ),
             )
 
+        # RegulatedRoad: steps += 1, enforce every 1/dt/REGULATION_FREQUENCY
+        # frames, *before* integration (road/regulation.py:36-40)
+        if self.regulated and step_count is not None:
+            from highwayenv_tpu.road import regulation
+
+            period = int(
+                self.config["simulation_frequency"]
+                // regulation.REGULATION_FREQUENCY
+            )
+            tick = (step_count + 1) % period == 0
+            enforced = regulation.enforce_road_rules(geo, veh)
+            veh = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(tick, tick.shape + (1,) * (new.ndim - tick.ndim)),
+                    new,
+                    old,
+                ),
+                enforced,
+                veh,
+            )
+
+        pre_integration = veh
         veh = kinematics.integrate(veh, self.dt)
+
+        # dynamical egos use the BicycleVehicle tire-slip RK4 integrator
+        # instead (dynamics.py:142-151; no impact handling, as in the
+        # reference override)
+        if getattr(self.action_type, "dynamical", False):
+            from highwayenv_tpu.vehicle import dynamics
+
+            dyn_mask = pre_integration.kind == KIND_EGO
+            dyn = dynamics.integrate_dynamic(pre_integration, self.dt, dyn_mask)
+            veh = veh.replace(
+                pos=jnp.where(dyn_mask[..., None], dyn.pos, veh.pos),
+                heading=jnp.where(dyn_mask, dyn.heading, veh.heading),
+                speed=jnp.where(dyn_mask, dyn.speed, veh.speed),
+                lateral_speed=jnp.where(
+                    dyn_mask, dyn.lateral_speed, veh.lateral_speed
+                ),
+                yaw_rate=jnp.where(dyn_mask, dyn.yaw_rate, veh.yaw_rate),
+            )
 
         # fresh projection table for the moved scene; re-localize lanes from
         # it (on_state_update, kinematics.py:170-175)
@@ -259,10 +311,14 @@ class BaseEnv:
 
     def _simulate(self, state: EnvState, slot_actions) -> EnvState:
         tables0 = lane_ops.projection_table(self.geo, state.vehicles.pos)
+        steps0 = state.steps
 
         def body(carry, i):
             veh, tables = carry
-            return self._frame(veh, tables, slot_actions, i == 0), None
+            return (
+                self._frame(veh, tables, slot_actions, i == 0, steps0 + i),
+                None,
+            )
 
         (veh, _tables), _ = jax.lax.scan(
             body,
@@ -277,7 +333,8 @@ class BaseEnv:
     # public pure API
     # ------------------------------------------------------------------ #
     def _observe(self, state: EnvState):
-        if len(self.ego_slots) == 1:
+        multi = getattr(self.observation_type, "multi_agent", False)
+        if len(self.ego_slots) == 1 and not multi:
             return self.observation_type.observe(
                 self.geo, state.vehicles, self.ego_slots[0]
             )
@@ -292,7 +349,7 @@ class BaseEnv:
         state = EnvState(
             vehicles=veh,
             time=jnp.zeros((), jnp.float32),
-            steps=jnp.zeros((), jnp.int32),
+            steps=jnp.full((), self._initial_steps, jnp.int32),
             key=ks,
         )
         return self._observe(state), state

@@ -27,10 +27,22 @@ def observation_factory(env, config: dict):
         return KinematicsGoalObservation(env, **kwargs)
     if config["type"] == "OccupancyGrid":
         return OccupancyGridObservation(**kwargs)
+    if config["type"] == "AttributesObservation":
+        from highwayenv_tpu.observations.attributes import AttributesObservation
+
+        return AttributesObservation(env, **kwargs)
+    if config["type"] == "MultiAgentObservation":
+        from highwayenv_tpu.observations.multi import MultiAgentObservation
+
+        return MultiAgentObservation(env, **kwargs)
+    if config["type"] == "TupleObservation":
+        from highwayenv_tpu.observations.multi import TupleObservation
+
+        return TupleObservation(env, **kwargs)
     raise ValueError(f"Unknown observation type: {config['type']}")
 
 
-def action_factory(config: dict):
+def action_factory(config: dict, env=None):
     kwargs = {k: v for k, v in config.items() if k != "type"}
     if config["type"] == "DiscreteMetaAction":
         return DiscreteMetaAction(**kwargs)
@@ -38,4 +50,8 @@ def action_factory(config: dict):
         return ContinuousAction(**kwargs)
     if config["type"] == "DiscreteAction":
         return DiscreteAction(**kwargs)
+    if config["type"] == "MultiAgentAction":
+        from highwayenv_tpu.actions.multi_agent import MultiAgentAction
+
+        return MultiAgentAction(env, **kwargs)
     raise ValueError(f"Unknown action type: {config['type']}")

@@ -96,6 +96,51 @@ def point_in_rotated_rectangle(point, center, length, width, angle):
     )
 
 
+def _rect_probe_points(center, length, width, angle) -> jnp.ndarray:
+    """Corners + edge midpoints + center of rotated rectangles: (..., 9, 2).
+
+    The point set of rect_corners(include_midpoints=True, include_center=True)
+    (utils.py:129-157).
+    """
+    hl = length[..., None] / 2.0
+    hw = width[..., None] / 2.0
+    z = jnp.zeros_like(hl)
+    lx = jnp.concatenate([-hl, -hl, hl, hl, z, -hl, hl, z, z], axis=-1)
+    ly = jnp.concatenate([-hw, hw, hw, -hw, z, z, z, -hw, hw], axis=-1)
+    c = jnp.cos(angle)[..., None]
+    s = jnp.sin(angle)[..., None]
+    wx = c * lx - s * ly
+    wy = s * lx + c * ly
+    return center[..., None, :] + jnp.stack([wx, wy], axis=-1)
+
+
+def rotated_rectangles_intersect(
+    center_a, length_a, width_a, angle_a,
+    center_b, length_b, width_b, angle_b,
+) -> jnp.ndarray:
+    """Corner/midpoint-containment intersection test (utils.py:115-174).
+
+    Deliberately NOT a full SAT: the reference checks whether any of one
+    rectangle's 9 probe points lies inside the other (both ways), and the
+    RegulatedRoad conflict pass depends on these exact semantics.
+    """
+
+    def one_way(ca, la, wa, aa, cb, lb, wb, ab):
+        pts = _rect_probe_points(ca, la, wa, aa)  # (...,9,2)
+        inside = point_in_rotated_rectangle(
+            pts, cb[..., None, :], lb[..., None], wb[..., None], ab[..., None]
+        )
+        return jnp.any(inside, axis=-1)
+
+    return one_way(
+        center_a, length_a, width_a, angle_a,
+        center_b, length_b, width_b, angle_b,
+    ) | one_way(
+        center_b, length_b, width_b, angle_b,
+        center_a, length_a, width_a, angle_a,
+    )
+
+
 def _rect_axes(angle: jnp.ndarray) -> jnp.ndarray:
     """The four signed edge-normal axes of a rectangle at `angle`: (...,4,2).
 

@@ -64,6 +64,12 @@ class VehicleState:
     check_collisions: jnp.ndarray  # (...,V) bool
     collidable: jnp.ndarray  # (...,V) bool
     enable_lane_change: jnp.ndarray  # (...,V) bool
+    # RegulatedRoad yielding state (road/regulation.py:46-71)
+    is_yielding: jnp.ndarray  # (...,V) bool
+    yield_timer: jnp.ndarray  # (...,V) i32
+    # BicycleVehicle extra state (vehicle/dynamics.py:50-56)
+    lateral_speed: jnp.ndarray  # (...,V) f32
+    yaw_rate: jnp.ndarray  # (...,V) f32
     # fixed-width route: per segment the edge (base lane id + lane count) and
     # an explicit lane id (-1 = unspecified, reference `None`)
     route_base: jnp.ndarray  # (...,V,R) i32, -1 pad
@@ -133,6 +139,10 @@ def empty_state(num_slots: int, route_slots: int = 1) -> VehicleState:
         check_collisions=jnp.ones((V,), bool),
         collidable=jnp.ones((V,), bool),
         enable_lane_change=jnp.ones((V,), bool),
+        is_yielding=f((V,), bool),
+        yield_timer=f((V,), jnp.int32),
+        lateral_speed=f((V,), jnp.float32),
+        yaw_rate=f((V,), jnp.float32),
         route_base=jnp.full((V, R), -1, jnp.int32),
         route_n=f((V, R), jnp.int32),
         route_id=jnp.full((V, R), -1, jnp.int32),

@@ -39,6 +39,17 @@ def ref_to_vehicle_state(ref_env, tpu_env):
 
     R = getattr(tpu_env, "route_slots", 1)
     st = empty_state(V, route_slots=R)
+    # slot assignment: controlled vehicles go to the env's declared ego
+    # slots; everything else fills the remaining slots in list order
+    ego_slots = list(tpu_env.ego_slots)
+    free_slots = [i for i in range(V) if i not in ego_slots]
+    controlled_ids = set(id(v) for v in ref_env.unwrapped.controlled_vehicles)
+    slot_of = {}
+    for v in objs:
+        if id(v) in controlled_ids:
+            slot_of[id(v)] = ego_slots.pop(0)
+        else:
+            slot_of[id(v)] = free_slots.pop(0)
     get = lambda arr: np.asarray(arr).copy()
     pos = get(st.pos)
     heading = get(st.heading)
@@ -65,7 +76,18 @@ def ref_to_vehicle_state(ref_env, tpu_env):
     route_id = get(st.route_id)
     route_len = get(st.route_len)
 
-    for i, v in enumerate(objs):
+    is_yielding = get(st.is_yielding)
+    yield_timer = get(st.yield_timer)
+    lateral_speed = get(st.lateral_speed)
+    yaw_rate = get(st.yaw_rate)
+
+    for v in objs:
+        i = slot_of[id(v)]
+        if getattr(v, "is_yielding", False):
+            is_yielding[i] = True
+            yield_timer[i] = int(v.yield_timer)
+        lateral_speed[i] = getattr(v, "lateral_speed", 0.0)
+        yaw_rate[i] = getattr(v, "yaw_rate", 0.0)
         route = getattr(v, "route", None)
         if route:
             assert len(route) <= R, (len(route), R)
@@ -132,6 +154,10 @@ def ref_to_vehicle_state(ref_env, tpu_env):
         route_n=jnp.asarray(route_n),
         route_id=jnp.asarray(route_id),
         route_len=jnp.asarray(route_len),
+        is_yielding=jnp.asarray(is_yielding),
+        yield_timer=jnp.asarray(yield_timer),
+        lateral_speed=jnp.asarray(lateral_speed, jnp.float32),
+        yaw_rate=jnp.asarray(yaw_rate, jnp.float32),
     )
 
 
