@@ -45,6 +45,8 @@ def _register_all():
     from highwayenv_tpu.envs.exit import ExitEnv
     from highwayenv_tpu.envs.highway import HighwayEnv, HighwayEnvFast
     from highwayenv_tpu.envs.merge import MergeEnv
+    from highwayenv_tpu.envs.merge_generic import MergeGenericEnv
+    from highwayenv_tpu.envs.roundabout_generic import RoundaboutGenericEnv
     from highwayenv_tpu.envs.two_way import TwoWayEnv
     from highwayenv_tpu.envs.parking import (
         ParkingEnv,
@@ -57,24 +59,48 @@ def _register_all():
         MultiAgentIntersectionEnv,
     )
     from highwayenv_tpu.envs.lane_keeping import LaneKeepingEnv
-    from highwayenv_tpu.envs.racetrack import RacetrackEnv
+    from highwayenv_tpu.envs.racetrack import (
+        RacetrackEnv,
+        RacetrackEnvLarge,
+        RacetrackEnvOval,
+    )
     from highwayenv_tpu.envs.roundabout import RoundaboutEnv
     from highwayenv_tpu.envs.u_turn import UTurnEnv
+
+    # "-v1/-v2 connected-lane" variants flip one config flag, exactly like
+    # the reference's ConnectedLaneNeighboursMixin (envs/common/abstract.py:26-37)
+    CONNECTED = {"config": {"neighbour_vehicles_connected_lanes": True}}
 
     register("highway-v0", HighwayEnv)
     register("highway-fast-v0", HighwayEnvFast)
     register("merge-v0", MergeEnv)
+    register("merge-v1", MergeEnv, CONNECTED)
+    register("merge-generic-v0", MergeGenericEnv)
+    register("merge-generic-v1", MergeGenericEnv, CONNECTED)
     register("two-way-v0", TwoWayEnv)
     register("u-turn-v0", UTurnEnv)
+    register("u-turn-v1", UTurnEnv, CONNECTED)
     register("exit-v0", ExitEnv)
+    register("exit-v1", ExitEnv, CONNECTED)
     register("roundabout-v0", RoundaboutEnv)
+    register("roundabout-v1", RoundaboutEnv, CONNECTED)
+    register("roundabout-generic-v0", RoundaboutGenericEnv)
+    register("roundabout-generic-v1", RoundaboutGenericEnv, CONNECTED)
     register("parking-v0", ParkingEnv)
     register("parking-ActionRepeat-v0", ParkingEnvActionRepeat)
     register("parking-parked-v0", ParkingEnvParkedVehicles)
     register("racetrack-v0", RacetrackEnv)
+    register("racetrack-v1", RacetrackEnv, CONNECTED)
+    register("racetrack-large-v0", RacetrackEnvLarge)
+    register("racetrack-large-v1", RacetrackEnvLarge, CONNECTED)
+    register("racetrack-oval-v0", RacetrackEnvOval)
+    register("racetrack-oval-v1", RacetrackEnvOval, CONNECTED)
     register("intersection-v0", IntersectionEnv)
     register("intersection-v1", ContinuousIntersectionEnv)
+    register("intersection-v2", IntersectionEnv, CONNECTED)
     register("intersection-multi-agent-v0", MultiAgentIntersectionEnv)
+    register("intersection-multi-agent-v1", MultiAgentIntersectionEnv)
+    register("intersection-multi-agent-v2", MultiAgentIntersectionEnv, CONNECTED)
     register("lane-keeping-v0", LaneKeepingEnv)
 
 

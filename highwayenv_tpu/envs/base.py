@@ -237,7 +237,10 @@ class BaseEnv:
         # IDM/MOBIL NPC decisions (sees the ego's fresh targets, matching the
         # reference's act() list order with the ego first)
         veh, idm_steer, idm_acc = behavior.idm_act(
-            geo, self.idm_params, veh, table_s, table_lat
+            geo, self.idm_params, veh, table_s, table_lat,
+            connected=bool(
+                self.config.get("neighbour_vehicles_connected_lanes", False)
+            ),
         )
 
         is_ego = veh.kind == KIND_EGO

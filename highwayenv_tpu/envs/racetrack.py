@@ -143,6 +143,7 @@ class RacetrackEnv(BaseEnv):
         self._ego_slots = list(range(n_ctrl))
         # lane ids of the ("a","b") and ("b","c") edges for spawning
         self._ab_base = self.net.global_lane_index(("a", "b", 0))
+        self._ab_lanes = len(self.net.lanes_on_edge("a", "b"))
         self._bc_base = self.net.global_lane_index(("b", "c", 0))
 
     @property
@@ -160,10 +161,11 @@ class RacetrackEnv(BaseEnv):
 
         keys = jax.random.split(key, 6)
 
-        # controlled vehicles: first on ("a","b",0|1), rest on random lanes
+        # controlled vehicles: first on a random ("a","b") lane, rest anywhere
         ego_lane = jnp.where(
             jnp.arange(n_ctrl) == 0,
-            self._ab_base + jax.random.randint(keys[0], (n_ctrl,), 0, 2),
+            self._ab_base
+            + jax.random.randint(keys[0], (n_ctrl,), 0, self._ab_lanes),
             jax.random.randint(keys[0], (n_ctrl,), 0, L),
         ).astype(jnp.int32)
         ego_s = jax.random.uniform(keys[1], (n_ctrl,), minval=20.0, maxval=50.0)
@@ -200,6 +202,7 @@ class RacetrackEnv(BaseEnv):
         pos = lane_ops.position(self.geo, lane, s, jnp.zeros_like(s))
         heading = lane_ops.heading_at(self.geo, lane, s)
 
+        n_veh = n_ctrl + 1 + n_extra  # may be < V (e.g. oval roadblock slots)
         kind = jnp.concatenate(
             [
                 jnp.full((n_ctrl,), KIND_EGO, jnp.int32),
@@ -210,22 +213,25 @@ class RacetrackEnv(BaseEnv):
         # "prevent early collisions": drop extras within 20 m of anyone
         # earlier (racetrack_env.py:429-434)
         d = jnp.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
-        earlier = (jnp.arange(V)[None, :] < jnp.arange(V)[:, None]) & (
+        earlier = (jnp.arange(n_veh)[None, :] < jnp.arange(n_veh)[:, None]) & (
             kind[None, :] != KIND_PAD
         )
         too_close = jnp.any(earlier & (d < 20.0), axis=-1)
-        is_extra = jnp.arange(V) >= n_ctrl + 1
+        is_extra = jnp.arange(n_veh) >= n_ctrl + 1
         kind = jnp.where(is_extra & too_close, KIND_PAD, kind)
 
+        i = slice(0, n_veh)
         return veh.replace(
-            pos=pos.astype(jnp.float32),
-            heading=heading.astype(jnp.float32),
-            speed=speed.astype(jnp.float32),
-            lane=lane,
-            target_lane=lane,
-            target_speed=speed.astype(jnp.float32),
-            timer=jnp.mod((pos[:, 0] + pos[:, 1]) * jnp.pi, 1.0).astype(jnp.float32),
-            kind=kind,
+            pos=veh.pos.at[i].set(pos.astype(jnp.float32)),
+            heading=veh.heading.at[i].set(heading.astype(jnp.float32)),
+            speed=veh.speed.at[i].set(speed.astype(jnp.float32)),
+            lane=veh.lane.at[i].set(lane),
+            target_lane=veh.target_lane.at[i].set(lane),
+            target_speed=veh.target_speed.at[i].set(speed.astype(jnp.float32)),
+            timer=veh.timer.at[i].set(
+                jnp.mod((pos[:, 0] + pos[:, 1]) * jnp.pi, 1.0).astype(jnp.float32)
+            ),
+            kind=veh.kind.at[i].set(kind),
         )
 
     def _rewards(self, state: EnvState, action):
@@ -261,3 +267,160 @@ class RacetrackEnv(BaseEnv):
 
     def _is_truncated(self, state: EnvState):
         return state.time >= self.config["duration"]
+
+
+class RacetrackEnvLarge(RacetrackEnv):
+    """racetrack-large: 3-lane map (racetrack_env.py:432-877), built from the
+    extracted geometry table (see scripts/extract_racetrack_large.py)."""
+
+    def _make_network(self) -> RoadNetworkBuilder:
+        from highwayenv_tpu.envs._racetrack_large_data import (
+            RACETRACK_LARGE_LANES,
+        )
+
+        net = RoadNetworkBuilder()
+        for f, t, kind, params, lt, sl, width in RACETRACK_LARGE_LANES:
+            if kind == "straight":
+                start, end = params
+                net.add_lane(
+                    f, t,
+                    StraightLane(start, end, width=width, line_types=lt,
+                                 speed_limit=sl),
+                )
+            else:
+                center, radius, p0, p1, cw = params
+                net.add_lane(
+                    f, t,
+                    CircularLane(center, radius, p0, p1, clockwise=cw,
+                                 width=width, line_types=lt, speed_limit=sl),
+                )
+        return net
+
+
+class RacetrackEnvOval(RacetrackEnv):
+    """Oval racetrack with parametric length / lane count / roadblocks
+    (racetrack_env.py:880-1338)."""
+
+    @classmethod
+    def default_config(cls) -> dict:
+        config = super().default_config()
+        update_config(
+            config,
+            {
+                "length": 100,  # 0: random in [100, 200) (host-side RNG)
+                "no_lanes": 3,  # 0: random in [2, 7)
+                "block_lane": False,
+                "force_decision": False,
+            },
+        )
+        return config
+
+    def _make_network(self) -> RoadNetworkBuilder:
+        import numpy as _np
+
+        cfg = self.config
+        rng = _np.random.default_rng()  # reference uses a fresh rng here too
+        length = cfg["length"] or int(rng.integers(100, 200))
+        no_lanes = cfg["no_lanes"] or int(rng.integers(2, 7))
+        self._oval_length = length
+        self._oval_lanes = no_lanes
+
+        net = RoadNetworkBuilder()
+        c, s, n = LineType.CONTINUOUS, LineType.STRIPED, LineType.NONE
+        sl = 10.0
+        # the reference's per-segment inner/mid/outer line types differ
+        # slightly per segment; reproduced per segment below
+        for i in range(no_lanes):
+            first, last = i == 0, i == no_lanes - 1
+            # horizontal straight 1 (racetrack_env.py:974-993)
+            net.add_lane("a", "b", StraightLane(
+                [0, i * 5], [length + 1, i * 5], width=5, speed_limit=sl,
+                line_types=(c, s) if first else ((s, c) if last else (s, n)),
+            ))
+        for i in range(no_lanes):
+            first, last = i == 0, i == no_lanes - 1
+            net.add_lane("b", "c", CircularLane(
+                [length, -20], 20 + i * 5, np.deg2rad(90), np.deg2rad(0),
+                width=5, clockwise=False, speed_limit=sl,
+                line_types=(c, n) if first else ((s, c) if last else (s, n)),
+            ))
+        for i in range(no_lanes):
+            first, last = i == 0, i == no_lanes - 1
+            net.add_lane("c", "d", StraightLane(
+                [length + 20 + i * 5, -20], [length + 20 + i * 5, -50],
+                width=5, speed_limit=sl,
+                line_types=(c, n) if first else ((s, c) if last else (s, n)),
+            ))
+        for i in range(no_lanes):
+            first, last = i == 0, i == no_lanes - 1
+            net.add_lane("d", "e", CircularLane(
+                [length + 5, -50], 15 + i * 5, np.deg2rad(0), np.deg2rad(-90),
+                width=5, clockwise=False, speed_limit=sl,
+                line_types=(c, n) if first else ((s, c) if last else (s, n)),
+            ))
+        for i in range(no_lanes):
+            first, last = i == 0, i == no_lanes - 1
+            net.add_lane("e", "f", StraightLane(
+                [length + 5, -(65 + i * 5)], [-5, -(65 + i * 5)],
+                width=5, speed_limit=sl,
+                line_types=(c, n) if first else ((s, c) if last else (s, n)),
+            ))
+        for i in range(no_lanes):
+            first, last = i == 0, i == no_lanes - 1
+            net.add_lane("f", "g", CircularLane(
+                [-5, -50], 15 + i * 5, np.deg2rad(-90), np.deg2rad(-180),
+                width=5, clockwise=False, speed_limit=sl,
+                line_types=(c, n) if first else ((s, c) if last else (s, n)),
+            ))
+        for i in range(no_lanes):
+            first, last = i == 0, i == no_lanes - 1
+            net.add_lane("g", "h", StraightLane(
+                [-20 - i * 5, -50], [-20 - i * 5, -20],
+                width=5, speed_limit=sl,
+                line_types=(c, n) if first else ((s, c) if last else (s, n)),
+            ))
+        for i in range(no_lanes):
+            first = i == 0
+            net.add_lane("h", "a", CircularLane(
+                [0, -20], 20 + i * 5, np.deg2rad(180), np.deg2rad(90),
+                width=5, clockwise=False, speed_limit=sl,
+                line_types=(c, n) if first else (s, c),
+            ))
+        return net
+
+    def _build_scene(self):
+        super()._build_scene()
+        cfg = self.config
+        # roadblocks (racetrack_env.py:1322-1334)
+        blocks = []
+        length = self._oval_length
+        if cfg["block_lane"]:
+            for i in (40.0, 43.0, 46.0, 49.0):
+                blocks.append([length - i, 3.75])
+                blocks.append([length - i, 6.25])
+        if cfg["force_decision"]:
+            for i in (-1.25, 1.25, 8.85, 11.25):
+                blocks.append([length - 90.0, i])
+        self._blocks = np.asarray(blocks, np.float32).reshape(-1, 2)
+        self.num_slots += len(blocks)
+
+    def _reset_vehicles(self, key):
+        veh = super()._reset_vehicles(key)
+        nb = len(self._blocks)
+        if nb:
+            from highwayenv_tpu.vehicle.state import (
+                KIND_OBSTACLE,
+                OBJECT_LENGTH,
+                OBJECT_WIDTH,
+            )
+
+            sl = slice(self.num_slots - nb, self.num_slots)
+            veh = veh.replace(
+                pos=veh.pos.at[sl].set(jnp.asarray(self._blocks)),
+                kind=veh.kind.at[sl].set(KIND_OBSTACLE),
+                length=veh.length.at[sl].set(OBJECT_LENGTH),
+                width=veh.width.at[sl].set(OBJECT_WIDTH),
+                heading=veh.heading.at[sl].set(0.0),
+                speed=veh.speed.at[sl].set(0.0),
+            )
+        return veh

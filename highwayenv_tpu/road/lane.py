@@ -120,6 +120,11 @@ class LaneGeometry(NamedTuple):
     # predecessor edges (edges arriving at from_node), padded with -1
     pred_edge_base: jnp.ndarray  # (L,P) int32
     pred_edge_n: jnp.ndarray  # (L,P) int32
+    # connected-lane neighbour-search candidates (road/road.py:505-529):
+    # per lane, [self, successor lanes (same id or 0), predecessor lanes]
+    # with longitudinal offsets into the query lane's frame
+    conn_lanes: jnp.ndarray  # (L,K) int32, -1 pad
+    conn_offsets: jnp.ndarray  # (L,K) f32
 
     @property
     def num_lanes(self) -> int:

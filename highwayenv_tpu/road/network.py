@@ -440,6 +440,33 @@ class RoadNetworkBuilder:
                 pred_edge_base[g_idx, j] = b
                 pred_edge_n[g_idx, j] = n
 
+        # connected-lane neighbour-search candidates (road/road.py:505-529):
+        # per lane: itself (offset 0), each successor edge's lane of the same
+        # id (or lane 0) at offset +own_length, each predecessor edge's lane
+        # (same rule) at offset -pred_length
+        K = 1 + S + P
+        conn_lanes = np.full((L, K), -1, np.int32)
+        conn_offsets = np.zeros((L, K), np.float32)
+        for g_idx in range(L):
+            conn_lanes[g_idx, 0] = g_idx
+            lid = lane_id[g_idx]
+            col = 1
+            for j in range(S):
+                b, n = succ_edge_base[g_idx, j], succ_edge_n[g_idx, j]
+                if b < 0 or n == 0:
+                    continue
+                conn_lanes[g_idx, col] = b + (lid if lid < n else 0)
+                conn_offsets[g_idx, col] = length[g_idx]
+                col += 1
+            for j in range(P):
+                b, n = pred_edge_base[g_idx, j], pred_edge_n[g_idx, j]
+                if b < 0 or n == 0:
+                    continue
+                prev = b + (lid if lid < n else 0)
+                conn_lanes[g_idx, col] = prev
+                conn_offsets[g_idx, col] = -length[prev]
+                col += 1
+
         # NOTE: tables stay in host numpy (see lane.Table): lane kernels
         # consume them as trace-time constants, so jit embeds the small
         # tables directly in the program with no device transfers at
@@ -476,4 +503,6 @@ class RoadNetworkBuilder:
             succ_edge_n=Table(succ_edge_n),
             pred_edge_base=Table(pred_edge_base),
             pred_edge_n=Table(pred_edge_n),
+            conn_lanes=Table(conn_lanes),
+            conn_offsets=Table(conn_offsets),
         )

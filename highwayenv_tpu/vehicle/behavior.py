@@ -112,6 +112,89 @@ def _column_lookup(table: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray):
     return lane_ops.table_lookup(table, row, col)
 
 
+def neighbours_connected(
+    geo: LaneGeometry,
+    state: VehicleState,
+    query_lane: jnp.ndarray,
+    table_s: jnp.ndarray,
+    table_lat: jnp.ndarray,
+) -> Neighbours:
+    """Connected-lane front/rear search (road/road.py:483-547, the
+    ``neighbour_vehicles_connected_lanes`` mode).
+
+    Each object is assigned to the FIRST candidate lane (query lane, then
+    successor lanes, then predecessor lanes) it is on (margin 1 m); its
+    longitudinal coordinate is shifted into the query lane's frame by the
+    precompiled offset.  Ties: the front neighbour keeps the *last* matching
+    object (reference uses <=), the rear keeps the first (strict >).
+    """
+    V = state.num_slots
+    self_idx = _self_idx(state)
+    q = lane_ops._gather(geo, query_lane)
+    s_self = lane_ops.table_lookup(table_s, self_idx, query_lane)
+
+    cand = geo.conn_lanes[q]  # (V, K)
+    offs = geo.conn_offsets[q]  # (V, K)
+    K = cand.shape[-1]
+    cl = jnp.clip(cand, 0, geo.num_lanes - 1)
+
+    # (V_query, V_other, K) projections: per (i, j, k) = table[j, cand[i, k]]
+    cand_b = jnp.broadcast_to(cl[..., :, None, :], cl.shape[:-2] + (V, V, K))
+    s_jk = jnp.take_along_axis(
+        jnp.broadcast_to(table_s[..., None, :, :], table_s.shape[:-2] + (V, V, table_s.shape[-1])),
+        cand_b,
+        axis=-1,
+    )
+    lat_jk = jnp.take_along_axis(
+        jnp.broadcast_to(table_lat[..., None, :, :], table_lat.shape[:-2] + (V, V, table_lat.shape[-1])),
+        cand_b,
+        axis=-1,
+    )
+    width_k = geo.width[cl][..., :, None, :]
+    len_k = geo.length[cl][..., :, None, :]
+    on = (
+        (jnp.abs(lat_jk) <= width_k / 2 + 1.0)
+        & (-VEHICLE_LENGTH <= s_jk)
+        & (s_jk < len_k + VEHICLE_LENGTH)
+        & (cand[..., :, None, :] >= 0)
+    )
+    first_k = jnp.argmax(on, axis=-1)  # (V, V)
+    matched = jnp.any(on, axis=-1)
+    s_assigned = jnp.take_along_axis(s_jk, first_k[..., None], axis=-1)[..., 0]
+    s_assigned = s_assigned + jnp.take_along_axis(
+        offs[..., :, None, :], first_k[..., None], axis=-1
+    )[..., 0]
+
+    eye = jnp.eye(V, dtype=bool)
+    elig = (
+        matched
+        & ~eye
+        & state.active[..., None, :]
+        & (state.kind != KIND_LANDMARK)[..., None, :]
+    )
+
+    j_idx = jnp.arange(V)
+    # front: s_self <= s_v, min; the reference's <= keeps the LAST tied object
+    f_ok = elig & (s_self[..., :, None] <= s_assigned)
+    f_key = jnp.where(f_ok, s_assigned, jnp.inf)
+    f_min = jnp.min(f_key, axis=-1)
+    front_idx = jnp.argmax(
+        jnp.where(f_ok & (f_key == f_min[..., None]), j_idx, -1), axis=-1
+    ).astype(jnp.int32)
+    front_ex = jnp.isfinite(f_min)
+
+    # rear: s_v < s_self, max; strict > keeps the FIRST tied object
+    r_ok = elig & (s_assigned < s_self[..., :, None])
+    r_key = jnp.where(r_ok, s_assigned, -jnp.inf)
+    r_max = jnp.max(r_key, axis=-1)
+    rear_idx = jnp.argmax(r_ok & (r_key == r_max[..., None]), axis=-1).astype(
+        jnp.int32
+    )
+    rear_ex = jnp.isfinite(r_max) & jnp.any(r_ok, axis=-1)
+
+    return Neighbours(front_idx, front_ex, rear_idx, rear_ex, s_self)
+
+
 def neighbours(
     geo: LaneGeometry,
     state: VehicleState,
@@ -243,6 +326,14 @@ def _accel_pair(
 # --------------------------------------------------------------------------- #
 
 
+def _query_neighbours(
+    geo, state, query_lane, table_s, table_lat, index, connected: bool
+) -> Neighbours:
+    if connected:
+        return neighbours_connected(geo, state, query_lane, table_s, table_lat)
+    return neighbours(geo, state, query_lane, table_s, index)
+
+
 def _mobil(
     geo: LaneGeometry,
     p: IDMParams,
@@ -250,11 +341,15 @@ def _mobil(
     cand_lane: jnp.ndarray,
     neigh_cur: Neighbours,
     table_s: jnp.ndarray,
+    table_lat: jnp.ndarray,
     index: LaneIndexStruct,
+    connected: bool,
 ):
     """Vectorized IDMVehicle.mobil (behavior.py:265-324). Returns (V,) bool."""
     self_idx = _self_idx(state)
-    n_new = neighbours(geo, state, cand_lane, table_s, index)
+    n_new = _query_neighbours(
+        geo, state, cand_lane, table_s, table_lat, index, connected
+    )
     np_idx, np_ex = n_new.front_idx, n_new.front_ex
     nf_idx, nf_ex = n_new.rear_idx, n_new.rear_ex
     op_idx, op_ex = neigh_cur.front_idx, neigh_cur.front_ex
@@ -304,6 +399,7 @@ def change_lane_policy(
     table_s: jnp.ndarray,
     table_lat: jnp.ndarray,
     index: LaneIndexStruct,
+    connected: bool = False,
 ):
     """Vectorized IDMVehicle.change_lane_policy (behavior.py:219-263).
 
@@ -317,7 +413,9 @@ def change_lane_policy(
     mid_change = state.lane != state.target_lane
     same_road = geo.edge_base[li] == geo.edge_base[tli]
 
-    neigh_cur = neighbours(geo, state, state.lane, table_s, index)
+    neigh_cur = _query_neighbours(
+        geo, state, state.lane, table_s, table_lat, index, connected
+    )
 
     # ---- abort-on-conflict while mid-change (behavior.py:229-243) -------- #
     # another controlled vehicle (not on our target lane) targets our target
@@ -381,7 +479,10 @@ def change_lane_policy(
             & exists
             & reachable
             & moving
-            & _mobil(geo, p, state, cand, neigh_cur, table_s, index)
+            & _mobil(
+                geo, p, state, cand, neigh_cur, table_s, table_lat, index,
+                connected,
+            )
         )
         target = jnp.where(ok, cand, target)
 
@@ -395,6 +496,7 @@ def idm_act(
     state: VehicleState,
     table_s: jnp.ndarray,
     table_lat: jnp.ndarray,
+    connected: bool = False,
 ):
     """Full IDM/MOBIL decision pass (IDMVehicle.act, behavior.py:93-137).
 
@@ -403,7 +505,7 @@ def idm_act(
     """
     index = build_lane_index(geo, state, table_s, table_lat)
     state, neigh_cur = change_lane_policy(
-        geo, p, state, table_s, table_lat, index
+        geo, p, state, table_s, table_lat, index, connected
     )
 
     steering = controller.steering_control_from_table(
@@ -423,7 +525,9 @@ def idm_act(
 
     # dual-lane IDM while mid-change (behavior.py:121-131)
     mid = state.lane != state.target_lane
-    n_t = neighbours(geo, state, state.target_lane, table_s, index)
+    n_t = _query_neighbours(
+        geo, state, state.target_lane, table_s, table_lat, index, connected
+    )
     accel_t = _accel_pair(
         geo, p, state, table_s, state.delta, self_idx, true_mask,
         n_t.front_idx, n_t.front_ex,

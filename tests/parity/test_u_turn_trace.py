@@ -11,13 +11,13 @@ gym = pytest.importorskip("gymnasium")
 pytest.importorskip("highway_env")
 
 
-def make_pair(seed=0):
+def make_pair(seed=0, env_id="u-turn-v0"):
     import jax
     from highwayenv_tpu.envs.base import EnvState
 
-    ref = gym.make("u-turn-v0")
+    ref = gym.make(env_id)
     ref.reset(seed=seed)
-    ours = ht.make("u-turn-v0")
+    ours = ht.make(env_id)
     veh = ref_to_vehicle_state(ref, ours)
     state = EnvState(
         vehicles=veh,
@@ -48,9 +48,11 @@ def test_ttc_observation_matches_reference():
     np.testing.assert_allclose(obs, ref_obs, atol=1e-5)
 
 
-@pytest.mark.parametrize("seed", [0, 5])
-def test_u_turn_trace(seed):
-    ref, ours, state = make_pair(seed=seed)
+@pytest.mark.parametrize("seed,env_id", [
+    (0, "u-turn-v0"), (5, "u-turn-v0"), (0, "u-turn-v1"), (5, "u-turn-v1"),
+])
+def test_u_turn_trace(seed, env_id):
+    ref, ours, state = make_pair(seed=seed, env_id=env_id)
     for t, action in enumerate([1, 1, 4, 1, 0, 1, 2, 1]):
         ref_obs, ref_r, ref_term, ref_trunc, _ = ref.step(action)
         obs, state, r, term, trunc, info = ours.step(state, jnp.int32(action))
