@@ -41,6 +41,19 @@ def registered_ids():
     return sorted(_REGISTRY)
 
 
+def make_gym(env_id: str, config: dict | None = None, render_mode=None):
+    """Stateful Gymnasium-compatible env (see gym_env.GymEnv)."""
+    from highwayenv_tpu.gym_env import GymEnv
+
+    return GymEnv(env_id, config, render_mode)
+
+
+def register_gymnasium_envs(namespace: str = "highwayenv_tpu") -> None:
+    from highwayenv_tpu.gym_env import register_gymnasium_envs as _reg
+
+    _reg(namespace)
+
+
 def _register_all():
     from highwayenv_tpu.envs.exit import ExitEnv
     from highwayenv_tpu.envs.highway import HighwayEnv, HighwayEnvFast

@@ -27,6 +27,10 @@ def observation_factory(env, config: dict):
         return KinematicsGoalObservation(env, **kwargs)
     if config["type"] == "OccupancyGrid":
         return OccupancyGridObservation(**kwargs)
+    if config["type"] == "LidarObservation":
+        from highwayenv_tpu.observations.lidar import LidarObservation
+
+        return LidarObservation(**kwargs)
     if config["type"] == "AttributesObservation":
         from highwayenv_tpu.observations.attributes import AttributesObservation
 

@@ -1,0 +1,134 @@
+"""Stateful Gymnasium adapter over the functional JAX core.
+
+A drop-in replacement for the reference's env objects
+(envs/common/abstract.py:40-465): ``reset(seed=..., options=...)`` /
+``step(action)`` with numpy in/out, spaces, config surface, and the
+MultiAgentWrapper contract (abstract.py:468-478).
+
+The functional core stays pure and jitted; this class only threads the
+EnvState and PRNG key.  Batched/TPU users should use the functional API
+directly (``ht.make(id)`` -> ``env.reset(key)`` / ``env.step(state, a)``).
+
+Call ``highwayenv_tpu.register_gymnasium_envs()`` once to register every id
+with Gymnasium (e.g. ``gym.make("highwayenv_tpu/highway-v0")``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import gymnasium
+
+
+def _to_numpy(x):
+    return jax.tree.map(lambda a: np.asarray(a), x)
+
+
+class GymEnv(gymnasium.Env):
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 15}
+
+    def __init__(
+        self,
+        env_id: str,
+        config: dict | None = None,
+        render_mode: str | None = None,
+    ):
+        import highwayenv_tpu as ht
+
+        self._env_id = env_id
+        self._user_config = dict(config or {})
+        self.env = ht.make(env_id, self._user_config or None)
+        self.render_mode = render_mode
+        self._state = None
+        self._key = jax.random.PRNGKey(0)
+
+    # -- config surface (abstract.py:127-144) --------------------------- #
+    @property
+    def config(self) -> dict:
+        return self.env.config
+
+    def configure(self, config: dict) -> None:
+        import highwayenv_tpu as ht
+
+        self._user_config.update(config or {})
+        self.env = ht.make(self._env_id, self._user_config)
+
+    @property
+    def action_space(self):
+        return self.env.action_space
+
+    @property
+    def observation_space(self):
+        return self.env.observation_space
+
+    @property
+    def unwrapped(self):
+        return self
+
+    def reset(self, *, seed: int | None = None, options: dict | None = None):
+        if options and "config" in options:
+            self.configure(options["config"])
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        self._key, k = jax.random.split(self._key)
+        obs, self._state = self.env.reset(k)
+        return _to_numpy(obs), {}
+
+    def step(self, action):
+        if self._state is None:
+            raise RuntimeError("reset() must be called before step()")
+        obs, self._state, reward, terminated, truncated, info = self.env.step(
+            self._state, jnp.asarray(action)
+        )
+        return (
+            _to_numpy(obs),
+            float(np.asarray(reward)),
+            bool(np.asarray(terminated)),
+            bool(np.asarray(truncated)),
+            _to_numpy(info),
+        )
+
+    def render(self):
+        if self.render_mode == "rgb_array" and self._state is not None:
+            from highwayenv_tpu.render import render_rgb
+
+            return render_rgb(self.env, self._state)
+        return None
+
+    @property
+    def state(self):
+        return self._state
+
+
+class MultiAgentWrapper(gymnasium.Wrapper):
+    """Per-agent step returns from the aggregated env
+    (envs/common/abstract.py:468-478)."""
+
+    def step(self, action):
+        obs, _reward, _terminated, truncated, info = self.env.step(action)
+        reward = info["agents_rewards"]
+        terminated = info["agents_terminated"]
+        return obs, reward, terminated, truncated, info
+
+
+_GYM_REGISTERED = False
+
+
+def register_gymnasium_envs(namespace: str = "highwayenv_tpu") -> None:
+    """Register every env id with Gymnasium under ``namespace/<id>``."""
+    global _GYM_REGISTERED
+    if _GYM_REGISTERED:
+        return
+    import highwayenv_tpu as ht
+
+    for env_id in ht.registered_ids():
+        gymnasium.register(
+            id=f"{namespace}/{env_id}",
+            entry_point="highwayenv_tpu.gym_env:GymEnv",
+            kwargs={"env_id": env_id},
+        )
+    _GYM_REGISTERED = True
