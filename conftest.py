@@ -21,3 +21,34 @@ sys.path.insert(0, os.path.dirname(__file__))
 REFERENCE_PATH = "/root/reference"
 if os.path.isdir(REFERENCE_PATH) and REFERENCE_PATH not in sys.path:
     sys.path.insert(0, REFERENCE_PATH)
+
+
+# --------------------------------------------------------------------------- #
+# Guard against reference class-attribute leakage between tests: the
+# reference's IntersectionEnv mutates IDMVehicle *class* attributes when
+# constructed (intersection_env.py:262-265), silently changing NPC behavior
+# in every reference env created afterwards in the same process.  Snapshot
+# and restore around every test so golden traces stay order-independent.
+import pytest  # noqa: E402
+
+_IDM_ATTRS = (
+    "DISTANCE_WANTED",
+    "COMFORT_ACC_MAX",
+    "COMFORT_ACC_MIN",
+    "TIME_WANTED",
+    "DELTA",
+    "ACC_MAX",
+)
+
+
+@pytest.fixture(autouse=True)
+def _restore_reference_idm_class_attrs():
+    try:
+        from highway_env.vehicle.behavior import IDMVehicle
+    except ImportError:
+        yield
+        return
+    saved = {a: getattr(IDMVehicle, a) for a in _IDM_ATTRS}
+    yield
+    for a, v in saved.items():
+        setattr(IDMVehicle, a, v)

@@ -28,6 +28,7 @@ from highwayenv_tpu.vehicle.behavior import IDMParams
 from highwayenv_tpu.vehicle.state import (
     KIND_EGO,
     KIND_IDM,
+    KIND_LINEAR,
     VehicleState,
 )
 
@@ -244,7 +245,9 @@ class BaseEnv:
         )
 
         is_ego = veh.kind == KIND_EGO
-        is_idm = (veh.kind == KIND_IDM) & ~veh.crashed
+        is_idm = (
+            (veh.kind == KIND_IDM) | (veh.kind == KIND_LINEAR)
+        ) & ~veh.crashed
         if raw_controls:
             # ContinuousAction egos keep their stored commands (action.py:160)
             veh = veh.replace(
@@ -336,6 +339,10 @@ class BaseEnv:
     # public pure API
     # ------------------------------------------------------------------ #
     def _observe(self, state: EnvState):
+        if getattr(self.observation_type, "host_side", False):
+            # host-rendered observations (Grayscale) are filled in by the
+            # Gymnasium adapter; the jitted path carries a placeholder
+            return jnp.zeros(self.observation_type.shape, jnp.uint8)
         multi = getattr(self.observation_type, "multi_agent", False)
         if len(self.ego_slots) == 1 and not multi:
             return self.observation_type.observe(
@@ -346,9 +353,42 @@ class BaseEnv:
             for slot in self.ego_slots
         )
 
+    # NPC class presets: ACCELERATION_PARAMETERS + MOBIL gain
+    # (vehicle/behavior.py:353, 563-583)
+    _NPC_PRESETS = {
+        "LinearVehicle": ([0.3, 0.3, 2.0], 0.2),
+        "AggressiveVehicle": (
+            [0.8 / (0.25 * 30), 0.8 / (0.75 * 30), 0.5], 1.0
+        ),
+        "DefensiveVehicle": (
+            [1.2 / (0.25 * 30), 1.2 / (0.75 * 30), 2.0], 1.0
+        ),
+    }
+
+    def _apply_npc_type(self, veh: VehicleState) -> VehicleState:
+        """Dispatch config["other_vehicles_type"] (abstract.py:114,
+        class_from_path utils.py:40-43): scenario resets spawn NPCs as IDM;
+        a Linear-family type flips their kind enum and installs the class
+        parameters."""
+        path = self.config.get("other_vehicles_type", "")
+        name = path.rsplit(".", 1)[-1]
+        if name not in self._NPC_PRESETS:
+            return veh
+        accel_params, gain = self._NPC_PRESETS[name]
+        is_npc = veh.kind == KIND_IDM
+        return veh.replace(
+            kind=jnp.where(is_npc, KIND_LINEAR, veh.kind),
+            accel_params=jnp.where(
+                is_npc[..., None],
+                jnp.asarray(accel_params, jnp.float32),
+                veh.accel_params,
+            ),
+            mobil_gain=jnp.where(is_npc, gain, veh.mobil_gain),
+        )
+
     def _reset(self, key):
         kv, ks = jax.random.split(key)
-        veh = self._reset_vehicles(kv)
+        veh = self._apply_npc_type(self._reset_vehicles(kv))
         state = EnvState(
             vehicles=veh,
             time=jnp.zeros((), jnp.float32),
@@ -374,6 +414,25 @@ class BaseEnv:
             truncated = truncated | (policy_steps >= mes)
         info = self._info(state, action)
         return obs, state, reward, terminated, truncated, info
+
+    # ------------------------------------------------------------------ #
+    # planner export (abstract.py:452-453)
+    # ------------------------------------------------------------------ #
+    def to_finite_mdp(self, state: EnvState, horizon: float = 10.0):
+        """TTC-grid finite-MDP export (envs/common/finite_mdp.py:17-103).
+
+        The grid's lane axis is statically sized to the widest edge (the
+        reference sizes it to the ego's current road, which is shape-dynamic).
+        """
+        from highwayenv_tpu.ops.finite_mdp import finite_mdp
+
+        if not hasattr(self, "connected3"):
+            self.connected3 = self.net.connectivity_matrix(depth=3)
+        if not hasattr(self, "ttc_grid_lanes"):
+            self.ttc_grid_lanes = self.max_edge_lanes
+        return finite_mdp(
+            self, state, 1.0 / self.config["policy_frequency"], horizon
+        )
 
     # ------------------------------------------------------------------ #
     # batched + auto-reset conveniences

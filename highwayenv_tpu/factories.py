@@ -31,6 +31,10 @@ def observation_factory(env, config: dict):
         from highwayenv_tpu.observations.lidar import LidarObservation
 
         return LidarObservation(**kwargs)
+    if config["type"] == "GrayscaleObservation":
+        from highwayenv_tpu.observations.grayscale import GrayscaleObservation
+
+        return GrayscaleObservation(env, **kwargs)
     if config["type"] == "AttributesObservation":
         from highwayenv_tpu.observations.attributes import AttributesObservation
 

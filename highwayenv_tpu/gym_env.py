@@ -69,6 +69,10 @@ class GymEnv(gymnasium.Env):
     def unwrapped(self):
         return self
 
+    @property
+    def _host_obs(self):
+        return getattr(self.env.observation_type, "host_side", False)
+
     def reset(self, *, seed: int | None = None, options: dict | None = None):
         if options and "config" in options:
             self.configure(options["config"])
@@ -76,6 +80,9 @@ class GymEnv(gymnasium.Env):
             self._key = jax.random.PRNGKey(seed)
         self._key, k = jax.random.split(self._key)
         obs, self._state = self.env.reset(k)
+        if self._host_obs:
+            self.env.observation_type.reset_stack()
+            obs = self.env.observation_type.observe_host(self.env, self._state)
         return _to_numpy(obs), {}
 
     def step(self, action):
@@ -84,6 +91,8 @@ class GymEnv(gymnasium.Env):
         obs, self._state, reward, terminated, truncated, info = self.env.step(
             self._state, jnp.asarray(action)
         )
+        if self._host_obs:
+            obs = self.env.observation_type.observe_host(self.env, self._state)
         return (
             _to_numpy(obs),
             float(np.asarray(reward)),

@@ -84,9 +84,28 @@ class KinematicsObservation:
             cols["lat_off"] = lat
             cols["ang_off"] = lane_ops.local_angle(geo, state.lane, state.heading, s)
         if "cos_d" in self.features or "sin_d" in self.features:
-            # destination direction (kinematics.py:205-226); zero without a route
-            cols["cos_d"] = jnp.zeros_like(state.speed)
-            cols["sin_d"] = jnp.zeros_like(state.speed)
+            # destination direction = unit vector to the end of the last
+            # route segment (kinematics.py:205-226); zero without a route
+            R = state.route_base.shape[-1]
+            last = jnp.clip(state.route_len - 1, 0, R - 1)[..., None]
+            base = jnp.take_along_axis(state.route_base, last, axis=-1)[..., 0]
+            rid = jnp.take_along_axis(state.route_id, last, axis=-1)[..., 0]
+            lane = jnp.clip(base + jnp.maximum(rid, 0), 0, geo.num_lanes - 1)
+            dest = lane_ops.position(
+                geo, lane, geo.length[lane], jnp.zeros_like(state.speed)
+            )
+            delta = dest - state.pos
+            norm = jnp.linalg.norm(delta, axis=-1)
+            ok = (state.route_len > 0) & (norm > 0) & bool(
+                self.observe_intentions
+            )
+            d = jnp.where(
+                (ok & (norm > 0))[..., None],
+                delta / jnp.where(norm[..., None] == 0, 1.0, norm[..., None]),
+                0.0,
+            )
+            cols["cos_d"] = d[..., 0]
+            cols["sin_d"] = d[..., 1]
         return cols
 
     def observe(

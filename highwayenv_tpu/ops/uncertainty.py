@@ -1,0 +1,345 @@
+"""Interval-membership observers for vehicles under parameter uncertainty.
+
+Rebuild of highway_env/vehicle/uncertainty/prediction.py:33-503
+(IntervalVehicle): propagate [min, max] bounds on a LinearVehicle's
+position/speed/heading given box uncertainty on its acceleration/steering
+parameters.  Host-side numpy analysis tooling (robust planning), operating on
+scene snapshots pulled from the device state.
+
+Modes (prediction.py:108-118):
+  - "partial": split the interval into lower/upper halves, propagate each
+    through the nonlinear observer, merge (partial_observer_step, 401-448).
+  - "predictor": linear-parameter-varying predictors in the lane frame
+    (predictor_step, 221-328) built from LinearVehicle's longitudinal /
+    lateral structures.
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from highwayenv_tpu.ops.interval import (
+    LPV,
+    integrator_interval,
+    interval_absolute_to_local,
+    interval_local_to_absolute,
+    interval_negative_part,
+    intervals_diff,
+    intervals_product,
+    polytope,
+    vector_interval_section,
+)
+from highwayenv_tpu.road import lane as lane_ops
+
+# LinearVehicle class constants (vehicle/behavior.py:350-373)
+ACCELERATION_PARAMETERS = np.array([0.3, 0.3, 2.0])
+STEERING_PARAMETERS = np.array([5.0, 5.0 / 0.6])
+ACCELERATION_RANGE = np.array(
+    [0.5 * ACCELERATION_PARAMETERS, 1.5 * ACCELERATION_PARAMETERS]
+)
+STEERING_RANGE = np.array(
+    [
+        STEERING_PARAMETERS - np.array([0.07, 1.5]),
+        STEERING_PARAMETERS + np.array([0.07, 1.5]),
+    ]
+)
+DISTANCE_WANTED = 10.0
+TIME_WANTED = 2.5
+ACC_MAX = 6.0
+TAU_PURSUIT = 0.1
+NOISE_PARTIAL = 0.3
+
+
+@dataclass
+class VehicleInterval:
+    """prediction.py:498-503."""
+
+    position: np.ndarray  # (2, 2)
+    speed: np.ndarray  # (2,)
+    heading: np.ndarray  # (2,)
+
+    @classmethod
+    def degenerate(cls, position, speed, heading):
+        return cls(
+            position=np.array([position, position], float),
+            speed=np.array([speed, speed], float),
+            heading=np.array([heading, heading], float),
+        )
+
+
+@dataclass
+class IntervalObserver:
+    """Interval observer for one vehicle slot of a scene snapshot."""
+
+    geo: object  # compiled LaneGeometry
+    target_lane: int
+    target_speed: float
+    theta_a_i: np.ndarray = field(default_factory=lambda: ACCELERATION_RANGE)
+    theta_b_i: np.ndarray = field(default_factory=lambda: STEERING_RANGE)
+    interval: VehicleInterval | None = None
+    longitudinal_lpv: LPV | None = None
+    lateral_lpv: LPV | None = None
+
+    # ------------------------------------------------------------------ #
+    def _lane_heading_at_position(self, position):
+        import jax.numpy as jnp
+
+        s, _ = lane_ops.local_coordinates(
+            self.geo, jnp.int32(self.target_lane), jnp.asarray(position, jnp.float32)
+        )
+        return float(
+            np.asarray(
+                lane_ops.heading_at(self.geo, jnp.int32(self.target_lane), s)
+            )
+        )
+
+    def observer_step(
+        self,
+        dt: float,
+        position: np.ndarray,
+        speed: float,
+        front: VehicleInterval | None = None,
+    ) -> None:
+        """One step of the nonlinear interval observer
+        (prediction.py:118-219), in place on self.interval."""
+        o = self.interval
+        position_i = o.position
+        v_i = o.speed
+        psi_i = o.heading
+
+        phi_a_i = np.zeros((2, 3))
+        lane_psi = self._lane_heading_at_position(position)
+        if front is not None:
+            phi_a_i[:, 1] = interval_negative_part(
+                intervals_diff(front.speed, v_i)
+            )
+            lane_direction = [np.cos(lane_psi), np.sin(lane_psi)]
+            diff_i = intervals_diff(front.position, position_i)
+            d_i = vector_interval_section(diff_i, lane_direction)
+            d_safe_i = DISTANCE_WANTED + TIME_WANTED * v_i
+            phi_a_i[:, 2] = interval_negative_part(
+                intervals_diff(d_i, d_safe_i)
+            )
+
+        # steering features on the followed (target) lane
+        _, lateral_i = interval_absolute_to_local(
+            position_i, self.geo, self.target_lane
+        )
+        lateral_i = -np.flip(lateral_i)
+        i_v_i = 1 / np.flip(v_i, 0)
+        phi_b_i = np.transpose(
+            np.array([[0, 0], intervals_product(lateral_i, i_v_i)])
+        )
+
+        a_i = intervals_product(self.theta_a_i, phi_a_i)
+        b_i = intervals_product(self.theta_b_i, phi_b_i)
+
+        dv_i = intervals_product(
+            self.theta_a_i[:, 0], self.target_speed - np.flip(v_i, 0)
+        )
+        dv_i += a_i
+        dv_i = np.clip(dv_i, -ACC_MAX, ACC_MAX)
+
+        from highwayenv_tpu.utils.math import wrap_to_pi as _w
+
+        delta_psi = [float(np.asarray(_w(x - lane_psi))) for x in psi_i]
+        d_psi_i = integrator_interval(delta_psi, self.theta_b_i[:, 0])
+        d_psi_i += b_i
+
+        cos_i = [
+            -1 if psi_i[0] <= np.pi <= psi_i[1] else min(map(np.cos, psi_i)),
+            1 if psi_i[0] <= 0 <= psi_i[1] else max(map(np.cos, psi_i)),
+        ]
+        sin_i = [
+            -1 if psi_i[0] <= -np.pi / 2 <= psi_i[1] else min(map(np.sin, psi_i)),
+            1 if psi_i[0] <= np.pi / 2 <= psi_i[1] else max(map(np.sin, psi_i)),
+        ]
+        dx_i = intervals_product(v_i, cos_i)
+        dy_i = intervals_product(v_i, sin_i)
+
+        o.speed = o.speed + dv_i * dt
+        o.heading = o.heading + d_psi_i * dt
+        o.position[:, 0] += dx_i * dt + NOISE_PARTIAL * dt * np.array([-1, 1])
+        o.position[:, 1] += dy_i * dt + NOISE_PARTIAL * dt * np.array([-1, 1])
+        o.heading = o.heading + NOISE_PARTIAL * dt * np.array([-1, 1])
+
+    def partial_step(
+        self,
+        dt: float,
+        position,
+        speed: float,
+        front: VehicleInterval | None = None,
+        alpha: float = 0.0,
+    ) -> None:
+        """Split / propagate / merge (prediction.py:401-448)."""
+        o = self.interval
+        minus = copy.deepcopy(self)
+        minus.interval = copy.deepcopy(o)
+        minus.interval.position[1, :] = (
+            (1 - alpha) * o.position[0, :] + alpha * o.position[1, :]
+        )
+        minus.interval.speed[1] = (1 - alpha) * o.speed[0] + alpha * o.speed[1]
+        minus.interval.heading[1] = (
+            (1 - alpha) * o.heading[0] + alpha * o.heading[1]
+        )
+        plus = copy.deepcopy(self)
+        plus.interval = copy.deepcopy(o)
+        plus.interval.position[0, :] = (
+            alpha * o.position[0, :] + (1 - alpha) * o.position[1, :]
+        )
+        plus.interval.speed[0] = alpha * o.speed[0] + (1 - alpha) * o.speed[1]
+        plus.interval.heading[0] = (
+            alpha * o.heading[0] + (1 - alpha) * o.heading[1]
+        )
+        minus.observer_step(dt, position, speed, front)
+        plus.observer_step(dt, position, speed, front)
+        self.interval = VehicleInterval(
+            position=np.array(
+                [minus.interval.position[0], plus.interval.position[1]]
+            ),
+            speed=np.array([minus.interval.speed[0], plus.interval.speed[1]]),
+            heading=np.array(
+                [
+                    min(minus.interval.heading[0], plus.interval.heading[0]),
+                    max(minus.interval.heading[1], plus.interval.heading[1]),
+                ]
+            ),
+        )
+
+    # -- LPV predictor (prediction.py:221-348) --------------------------- #
+    def _longitudinal_structure(self, front_exists: bool, at_safe_gap: bool):
+        """LinearVehicle.longitudinal_structure (behavior.py:504-529)."""
+        A = np.array(
+            [[0, 0, 1, 0], [0, 0, 0, 1], [0, 0, 0, 0], [0, 0, 0, 0]], float
+        )
+        phi0 = np.array(
+            [[0, 0, 0, 0], [0, 0, 0, 0], [0, 0, -1, 0], [0, 0, 0, -1]], float
+        )
+        phi1 = np.array(
+            [[0, 0, 0, 0], [0, 0, 0, 0], [0, 0, -1, 1], [0, 0, 0, 0]], float
+        )
+        phi2 = np.array(
+            [[0, 0, 0, 0], [0, 0, 0, 0], [-1, 1, -TIME_WANTED, 0], [0, 0, 0, 0]],
+            float,
+        )
+        if not front_exists:
+            phi1 = phi1 * 0
+        if not (front_exists and at_safe_gap):
+            phi2 = phi2 * 0
+        return A, np.array([phi0, phi1, phi2])
+
+    @staticmethod
+    def _lateral_structure():
+        """behavior.py:531-537."""
+        A = np.array([[0, 1], [0, 0]], float)
+        phi0 = np.array([[0, 0], [0, -1]], float)
+        phi1 = np.array([[0, 0], [-1, 0]], float)
+        return A, np.array([phi0, phi1])
+
+    def predictor_init(
+        self, position, speed, front: VehicleInterval | None = None
+    ) -> None:
+        """prediction.py:282-328."""
+        o = self.interval
+        longi_i, lat_i = interval_absolute_to_local(
+            o.position, self.geo, self.target_lane
+        )
+        v_i = o.speed
+        psi_i = o.heading - self._lane_heading_at_position(position)
+
+        if self.longitudinal_lpv is None:
+            if front is not None:
+                f_longi_i, _ = interval_absolute_to_local(
+                    front.position, self.geo, self.target_lane
+                )
+                f_pos, f_vel = f_longi_i[0], front.speed[0]
+            else:
+                f_pos, f_vel = 0.0, 0.0
+            x0 = [longi_i[0], f_pos, v_i[0], f_vel]
+            center = [
+                -DISTANCE_WANTED - self.target_speed * TIME_WANTED,
+                0,
+                self.target_speed,
+                self.target_speed,
+            ]
+            a, phi = self._longitudinal_structure(
+                front_exists=front is not None, at_safe_gap=False
+            )
+            a0, da = polytope(
+                lambda p: a + np.tensordot(phi, p, axes=[0, 0]), self.theta_a_i
+            )
+            self.longitudinal_lpv = LPV(
+                x0, a0, da,
+                b=np.eye(4),
+                d=np.array([[1], [0], [0], [0]]),
+                omega_i=np.array([[-1], [1]]) * 1.0,
+                u=[[self.target_speed], [self.target_speed], [0], [0]],
+                center=center,
+            )
+        if self.lateral_lpv is None:
+            a, phi = self._lateral_structure()
+            a0, da = polytope(
+                lambda p: a + np.tensordot(phi, p, axes=[0, 0]), self.theta_b_i
+            )
+            self.lateral_lpv = LPV(
+                [lat_i[0], psi_i[0]], a0, da,
+                b=np.identity(2),
+                d=np.array([[1], [0]]),
+                omega_i=np.array([[-1], [1]]) * 0.5,
+                u=[[0], [0]],
+                center=[0, 0],
+            )
+
+    def predictor_step(self, dt: float, position, speed, front=None) -> None:
+        """prediction.py:221-280 (without mid-episode lane-change rebase)."""
+        self.predictor_init(position, speed, front)
+        self.longitudinal_lpv.step(dt)
+        self.lateral_lpv.step(dt)
+        x_i_long = self.longitudinal_lpv.change_coordinates(
+            self.longitudinal_lpv.x_i_t, back=True, interval=True
+        )
+        x_i_lat = self.lateral_lpv.change_coordinates(
+            self.lateral_lpv.x_i_t, back=True, interval=True
+        )
+        self.interval = VehicleInterval(
+            position=interval_local_to_absolute(
+                x_i_long[:, 0], x_i_lat[:, 0], self.geo, self.target_lane
+            ),
+            speed=x_i_long[:, 2],
+            heading=x_i_lat[:, 1],
+        )
+
+
+def polytope_from_estimation(data: dict, parameter_box, structure):
+    """RegressionVehicle.polytope_from_estimation
+    (vehicle/uncertainty/estimation.py:26-38): replace the prior parameter
+    box with a data-driven confidence polytope when observations exist."""
+    from highwayenv_tpu.utils.estimation import confidence_polytope
+
+    a, phi = structure()
+    if not data:
+        a_theta = lambda p: a + np.tensordot(phi, p, axes=[0, 0])
+        return polytope(a_theta, parameter_box)
+    theta, d_theta, _, _ = confidence_polytope(data, parameter_box=parameter_box)
+    a0 = a + np.tensordot(theta, phi, axes=[0, 0])
+    da = [np.tensordot(dt, phi, axes=[0, 0]) for dt in d_theta]
+    return a0, da
+
+
+def observer_for_slot(env, state, slot: int) -> IntervalObserver:
+    """Build an observer from a device-state snapshot."""
+    veh = state.vehicles
+    obs = IntervalObserver(
+        geo=env.geo,
+        target_lane=int(np.asarray(veh.target_lane[slot])),
+        target_speed=float(np.asarray(veh.target_speed[slot])),
+    )
+    obs.interval = VehicleInterval.degenerate(
+        np.asarray(veh.pos[slot], float),
+        float(np.asarray(veh.speed[slot])),
+        float(np.asarray(veh.heading[slot])),
+    )
+    return obs

@@ -175,6 +175,20 @@ class CircularLane:
 LaneSpec = object  # StraightLane | SineLane | CircularLane
 
 
+def lane_from_config(cfg: dict):
+    """Instantiate a lane spec from a serialized config
+    (road/lane.py:538-539; dispatch on the reference class path's tail)."""
+    name = cfg["class_path"].rsplit(".", 1)[-1]
+    kwargs = dict(cfg["config"])
+    if name == "StraightLane":
+        return StraightLane(**kwargs)
+    if name == "SineLane":
+        return SineLane(**kwargs)
+    if name == "CircularLane":
+        return CircularLane(**kwargs)
+    raise ValueError(f"Unknown lane class {cfg['class_path']}")
+
+
 class RoadNetworkBuilder:
     """Accumulates lanes per (from,to) edge, then compiles to LaneGeometry."""
 
@@ -280,6 +294,72 @@ class RoadNetworkBuilder:
                 if nxt in graph:
                     queue.append((nxt, path + [nxt]))
         return []
+
+    # ------------------------------------------------------------------ #
+    # serialization (road/road.py:370-389, road/lane.py to_config family)
+    # ------------------------------------------------------------------ #
+    _CLASS_PATHS = {
+        "StraightLane": "highway_env.road.lane.StraightLane",
+        "SineLane": "highway_env.road.lane.SineLane",
+        "CircularLane": "highway_env.road.lane.CircularLane",
+    }
+
+    def to_config(self) -> dict:
+        """Nested {from: {to: [lane_config]}} dict, drop-in compatible with
+        the reference's serialization (same class paths and keys)."""
+        graph: dict = {}
+        for (f, t), lanes in self._edges.items():
+            graph.setdefault(f, {})
+            graph[f][t] = [self._lane_to_config(lane) for lane in lanes]
+        return graph
+
+    def _lane_to_config(self, lane) -> dict:
+        common = {
+            "width": float(lane.width),
+            "line_types": [int(x) for x in lane.line_types],
+            "forbidden": bool(lane.forbidden),
+            "speed_limit": lane.speed_limit,
+            "priority": int(lane.priority),
+        }
+        if isinstance(lane, SineLane):
+            cfg = {
+                "start": [float(x) for x in lane.start],
+                "end": [float(x) for x in lane.end],
+                "amplitude": float(lane.amplitude),
+                "pulsation": float(lane.pulsation),
+                "phase": float(lane.phase),
+                **common,
+            }
+            path = self._CLASS_PATHS["SineLane"]
+        elif isinstance(lane, StraightLane):
+            cfg = {
+                "start": [float(x) for x in lane.start],
+                "end": [float(x) for x in lane.end],
+                **common,
+            }
+            path = self._CLASS_PATHS["StraightLane"]
+        elif isinstance(lane, CircularLane):
+            cfg = {
+                "center": [float(x) for x in lane.center],
+                "radius": float(lane.radius),
+                "start_phase": float(lane.start_phase),
+                "end_phase": float(lane.end_phase),
+                "clockwise": bool(lane.clockwise),
+                **common,
+            }
+            path = self._CLASS_PATHS["CircularLane"]
+        else:
+            raise TypeError(type(lane))
+        return {"class_path": path, "config": cfg}
+
+    @classmethod
+    def from_config(cls, config: dict) -> "RoadNetworkBuilder":
+        net = cls()
+        for _from, to_dict in config.items():
+            for _to, lanes in to_dict.items():
+                for lane_cfg in lanes:
+                    net.add_lane(_from, _to, lane_from_config(lane_cfg))
+        return net
 
     def route_arrays(self, start_index, destination: str, route_slots: int):
         """Compile ControlledVehicle.plan_route_to (vehicle/controller.py:71-87)

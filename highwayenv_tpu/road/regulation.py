@@ -15,6 +15,7 @@ Python pair loop.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from highwayenv_tpu.road import lane as lane_ops
@@ -111,31 +112,43 @@ def enforce_road_rules(
     )
     is_yielding = state.is_yielding & ~expired
 
-    # 2. pairwise conflict prediction
+    # 2. pairwise conflict prediction.  The hit test scans over the T
+    # prediction times so temporaries stay (V, V, 9) rather than
+    # (V, V, T, 9) — at batch 1024 the fused version materializes
+    # multi-GB intermediates and becomes HBM-bound.
     times = np.arange(CONFLICT_STEP, CONFLICT_HORIZON, CONFLICT_STEP)
     pos, heading = predict_route_positions(geo, state, times)  # (V,T,2)
 
-    p1 = pos[..., :, None, :, :]  # (V,V,T,2)
-    p2 = pos[..., None, :, :, :]
-    h1 = heading[..., :, None, :]
-    h2 = heading[..., None, :, :]
-    l1 = state.length[..., :, None, None]
-    w1 = state.width[..., :, None, None]
-    l2 = state.length[..., None, :, None]
-    w2 = state.width[..., None, :, None]
+    l1 = state.length[..., :, None]
+    w1 = state.width[..., :, None]
+    l2 = state.length[..., None, :]
+    w2 = state.width[..., None, :]
 
-    # spherical pre-check: |p2-p1| <= v1.LENGTH (regulation.py:104-106)
-    close = jnp.linalg.norm(p2 - p1, axis=-1) <= l1
-    hit = close & rotated_rectangles_intersect(
-        p1, 1.5 * l1, 0.9 * w1, h1, p2, 1.5 * l2, 0.9 * w2, h2
-    )  # (V,V,T)
+    def hit_at(carry, pt):
+        p_t, h_t = pt  # (V,2), (V,)
+        p1 = p_t[..., :, None, :]
+        p2 = p_t[..., None, :, :]
+        close = jnp.linalg.norm(p2 - p1, axis=-1) <= l1
+        hit_t = close & rotated_rectangles_intersect(
+            p1, 1.5 * l1, 0.9 * w1, h_t[..., :, None],
+            p2, 1.5 * l2, 0.9 * w2, h_t[..., None, :],
+        )
+        return carry | hit_t, None
+
+    pos_t = jnp.moveaxis(pos, -2, 0)  # (T, ..., V, 2)
+    heading_t = jnp.moveaxis(heading, -1, 0)  # (T, ..., V)
+    any_hit, _ = jax.lax.scan(
+        hit_at,
+        jnp.zeros(state.kind.shape + (V,), bool),
+        (pos_t, heading_t),
+    )
 
     i_idx = jnp.arange(V)
     upper = i_idx[:, None] < i_idx[None, :]
     pair_ok = (
         upper & state.is_vehicle[..., :, None] & state.is_vehicle[..., None, :]
     )
-    conflict = pair_ok & jnp.any(hit, axis=-1)  # (V,V)
+    conflict = pair_ok & any_hit  # (V,V)
 
     # 3. who yields: lower current-lane priority; tie -> the trailing vehicle
     # (regulation.py:73-88)

@@ -28,7 +28,12 @@ from highwayenv_tpu.road import lane as lane_ops
 from highwayenv_tpu.road.lane import VEHICLE_LENGTH, LaneGeometry
 from highwayenv_tpu.utils.math import do_every, not_zero
 from highwayenv_tpu.vehicle import controller
-from highwayenv_tpu.vehicle.state import KIND_IDM, KIND_LANDMARK, VehicleState
+from highwayenv_tpu.vehicle.state import (
+    KIND_IDM,
+    KIND_LANDMARK,
+    KIND_LINEAR,
+    VehicleState,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -317,6 +322,22 @@ def _accel_pair(
     interaction = p.comfort_acc_max * jnp.square(d_star / not_zero(d))
 
     acc = free - jnp.where(front_exists, interaction, 0.0)
+
+    # LinearVehicle deciders use the linear model instead
+    # (vehicle/behavior.py:417-466): theta . [vt, dv, dp] with raw speeds
+    # and TIME_WANTED = 2.5
+    vt = take(state.target_speed, ego_idx) - ego_speed
+    d_safe = p.distance_wanted + jnp.maximum(ego_speed, 0.0) * 2.5
+    dv_raw = jnp.minimum(front_speed - ego_speed, 0.0)
+    dp = jnp.minimum(d - d_safe, 0.0)
+    th = state.accel_params  # decider's own parameters (row-aligned)
+    acc_lin = (
+        th[..., 0] * vt
+        + th[..., 1] * jnp.where(front_exists, dv_raw, 0.0)
+        + th[..., 2] * jnp.where(front_exists, dp, 0.0)
+    )
+    acc = jnp.where(state.kind == KIND_LINEAR, acc_lin, acc)
+
     ego_is_vehicle = take(state.is_vehicle, ego_idx)
     return jnp.where(ego_exists & ego_is_vehicle, acc, 0.0)
 
@@ -365,7 +386,7 @@ def _mobil(
 
     a_nf = acc(nf_idx, nf_ex, np_idx, np_ex)
     a_nf_pred = acc(nf_idx, nf_ex, self_idx, true_mask)
-    safe = a_nf_pred >= -p.lane_change_max_braking_imposed
+    safe = a_nf_pred >= -state.mobil_max_braking
 
     a_self_pred = acc(self_idx, true_mask, np_idx, np_ex)
 
@@ -378,7 +399,7 @@ def _mobil(
     tgt_id = geo.lane_id[lane_ops._gather(geo, state.target_lane)]
     cand_id = geo.lane_id[lane_ops._gather(geo, cand_lane)]
     sign_ok = jnp.sign(cand_id - tgt_id) == jnp.sign(head_id - tgt_id)
-    route_ok = sign_ok & (a_self_pred >= -p.lane_change_max_braking_imposed)
+    route_ok = sign_ok & (a_self_pred >= -state.mobil_max_braking)
 
     # incentive branch (behavior.py:300-321)
     a_self = acc(self_idx, true_mask, op_idx, op_ex)
@@ -387,7 +408,9 @@ def _mobil(
     jerk = (
         a_self_pred - a_self + p.politeness * (a_nf_pred - a_nf + a_of_pred - a_of)
     )
-    jerk_ok = jerk >= p.lane_change_min_acc_gain
+    # per-vehicle threshold: 0.2 for IDM, 1.0 for Aggressive/Defensive
+    # (behavior.py:45, 563-583)
+    jerk_ok = jerk >= state.mobil_gain
 
     return safe & jnp.where(has_route_id, route_ok, jerk_ok)
 
@@ -405,7 +428,9 @@ def change_lane_policy(
 
     Updates target_lane and the MOBIL timer for IDM vehicles.
     """
-    idm = (state.kind == KIND_IDM) & ~state.crashed
+    idm = (
+        (state.kind == KIND_IDM) | (state.kind == KIND_LINEAR)
+    ) & ~state.crashed
     self_idx = _self_idx(state)
 
     li = lane_ops._gather(geo, state.lane)
@@ -511,6 +536,26 @@ def idm_act(
     steering = controller.steering_control_from_table(
         geo, state.target_lane, state, table_s, table_lat
     )
+    # LinearVehicle lateral controller (behavior.py:467-502): linear in the
+    # steering parameters, no slip-angle inversion
+    V = state.num_slots
+    self_i = _self_idx(state)
+    s_t = lane_ops.table_lookup(table_s, self_i, state.target_lane)
+    lat_t = lane_ops.table_lookup(table_lat, self_i, state.target_lane)
+    future_heading = lane_ops.heading_at(
+        geo, state.target_lane, s_t + state.speed * controller.TAU_PURSUIT
+    )
+    from highwayenv_tpu.utils.math import not_zero as _nz
+    from highwayenv_tpu.utils.math import wrap_to_pi as _wrap
+
+    feat_h = (
+        _wrap(future_heading - state.heading) * state.length / _nz(state.speed)
+    )
+    feat_lat = -lat_t * state.length / (_nz(state.speed) ** 2)
+    steer_lin = (
+        state.steer_params[..., 0] * feat_h + state.steer_params[..., 1] * feat_lat
+    )
+    steering = jnp.where(state.kind == KIND_LINEAR, steer_lin, steering)
     steering = jnp.clip(
         steering, -controller.MAX_STEERING_ANGLE, controller.MAX_STEERING_ANGLE
     )

@@ -70,6 +70,12 @@ class VehicleState:
     # BicycleVehicle extra state (vehicle/dynamics.py:50-56)
     lateral_speed: jnp.ndarray  # (...,V) f32
     yaw_rate: jnp.ndarray  # (...,V) f32
+    # LinearVehicle parameters (vehicle/behavior.py:350-371) + per-vehicle
+    # MOBIL incentive threshold (0.2 IDM / 1.0 Aggressive & Defensive)
+    accel_params: jnp.ndarray  # (...,V,3) f32
+    steer_params: jnp.ndarray  # (...,V,2) f32
+    mobil_gain: jnp.ndarray  # (...,V) f32
+    mobil_max_braking: jnp.ndarray  # (...,V) f32 (set_preferred_lane -> 1000)
     # fixed-width route: per segment the edge (base lane id + lane count) and
     # an explicit lane id (-1 = unspecified, reference `None`)
     route_base: jnp.ndarray  # (...,V,R) i32, -1 pad
@@ -143,6 +149,14 @@ def empty_state(num_slots: int, route_slots: int = 1) -> VehicleState:
         yield_timer=f((V,), jnp.int32),
         lateral_speed=f((V,), jnp.float32),
         yaw_rate=f((V,), jnp.float32),
+        accel_params=jnp.broadcast_to(
+            jnp.asarray([0.3, 0.3, 2.0], jnp.float32), (V, 3)
+        ),
+        steer_params=jnp.broadcast_to(
+            jnp.asarray([5.0, 5.0 / 0.6], jnp.float32), (V, 2)
+        ),
+        mobil_gain=jnp.full((V,), 0.2, jnp.float32),
+        mobil_max_braking=jnp.full((V,), 2.0, jnp.float32),
         route_base=jnp.full((V, R), -1, jnp.int32),
         route_n=f((V, R), jnp.int32),
         route_id=jnp.full((V, R), -1, jnp.int32),
