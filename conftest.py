@@ -52,3 +52,25 @@ def _restore_reference_idm_class_attrs():
     yield
     for a, v in saved.items():
         setattr(IDMVehicle, a, v)
+
+
+# --------------------------------------------------------------------------- #
+# Memoize env construction across tests: envs are immutable after build and
+# hold their jitted step/reset, so reusing them avoids recompiling the same
+# kernels in every test (the dominant cost of the parity suites).
+def pytest_configure(config):
+    import highwayenv_tpu as ht
+
+    if getattr(ht.make, "_memoized", False):
+        return
+    orig_make = ht.make
+    cache = {}
+
+    def cached_make(env_id, config=None):
+        key = (env_id, repr(sorted((config or {}).items(), key=repr)))
+        if key not in cache:
+            cache[key] = orig_make(env_id, config)
+        return cache[key]
+
+    cached_make._memoized = True
+    ht.make = cached_make

@@ -344,12 +344,15 @@ class BaseEnv:
             # Gymnasium adapter; the jitted path carries a placeholder
             return jnp.zeros(self.observation_type.shape, jnp.uint8)
         multi = getattr(self.observation_type, "multi_agent", False)
+        kw = {}
+        if getattr(self.observation_type, "needs_key", False):
+            kw["key"] = jax.random.fold_in(state.key, state.steps)
         if len(self.ego_slots) == 1 and not multi:
             return self.observation_type.observe(
-                self.geo, state.vehicles, self.ego_slots[0]
+                self.geo, state.vehicles, self.ego_slots[0], **kw
             )
         return tuple(
-            self.observation_type.observe(self.geo, state.vehicles, slot)
+            self.observation_type.observe(self.geo, state.vehicles, slot, **kw)
             for slot in self.ego_slots
         )
 

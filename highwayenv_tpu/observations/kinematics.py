@@ -108,8 +108,12 @@ class KinematicsObservation:
             cols["sin_d"] = d[..., 1]
         return cols
 
+    @property
+    def needs_key(self) -> bool:
+        return self.order == "shuffled"
+
     def observe(
-        self, geo: LaneGeometry, state: VehicleState, ego: int
+        self, geo: LaneGeometry, state: VehicleState, ego: int, key=None
     ) -> jnp.ndarray:
         """Observation for controlled slot ``ego``. Returns (N, F) float32."""
         V = state.num_slots
@@ -177,6 +181,15 @@ class KinematicsObservation:
             [jnp.ones_like(sel_ok[..., :1]), sel_ok], axis=-1
         )
         obs = jnp.where(row_ok[..., None], obs, 0.0)
+        if self.order == "shuffled" and key is not None:
+            # shuffle the non-ego rows (observation.py:270-271)
+            import jax
+
+            perm = jax.random.permutation(key, obs.shape[-2] - 1)
+            obs = jnp.concatenate(
+                [obs[..., :1, :], jnp.take(obs[..., 1:, :], perm, axis=-2)],
+                axis=-2,
+            )
         return obs.astype(jnp.float32)
 
     def _ego_row(self, geo, state, ego, ego_row):
