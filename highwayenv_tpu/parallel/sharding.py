@@ -48,15 +48,27 @@ def sharded_rollout_fn(env, mesh: Mesh, horizon: int, axis_name: str = "env"):
         def body(carry, k):
             states = carry
             acts = jax.random.randint(k, (B,), 0, n_actions)
-            _, states, r, term, trunc, _ = jax.vmap(env.step_autoreset)(
+            obs, states, r, term, trunc, _ = jax.vmap(env.step_autoreset)(
                 states, acts
             )
-            return states, (jnp.mean(r), jnp.mean((term | trunc).astype(jnp.float32)))
+            # fold the observation into the metrics so the observation
+            # pipeline is part of the measured work (a policy would consume
+            # it; without this XLA dead-code-eliminates it entirely)
+            obs_sum = sum(jnp.sum(x) for x in jax.tree.leaves(obs))
+            return states, (
+                jnp.mean(r),
+                jnp.mean((term | trunc).astype(jnp.float32)),
+                obs_sum,
+            )
 
-        states, (rews, dones) = jax.lax.scan(
+        states, (rews, dones, obs_sums) = jax.lax.scan(
             body, states, jax.random.split(key, horizon)
         )
-        return states, {"mean_reward": jnp.mean(rews), "done_rate": jnp.mean(dones)}
+        return states, {
+            "mean_reward": jnp.mean(rews),
+            "done_rate": jnp.mean(dones),
+            "obs_checksum": jnp.sum(obs_sums),
+        }
 
     return jax.jit(
         rollout,
