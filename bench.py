@@ -54,15 +54,19 @@ def main():
 
     rollout = sharded_rollout_fn(env, mesh, horizon=T)
 
-    # warmup (compile + one chunk)
+    # warmup (compile + one chunk); float() forces host materialization so
+    # async dispatch cannot leak out of the timed region
     states, metrics = rollout(states, jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics)
+    float(metrics["mean_reward"])
 
     t0 = time.perf_counter()
     for c in range(chunks):
         states, metrics = rollout(states, jax.random.PRNGKey(2 + c))
-    jax.block_until_ready(metrics)
+    checksum = float(metrics["mean_reward"]) + float(
+        metrics.get("obs_checksum", 0.0)
+    )
     dt = time.perf_counter() - t0
+    assert checksum == checksum  # NaN guard
 
     steps_per_sec = B * T * chunks / dt
     per_chip = steps_per_sec / n_dev
