@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -28,6 +29,7 @@ from highwayenv_tpu.utils.math import wrap_to_pi
 STRAIGHT = 0
 SINE = 1
 CIRCULAR = 2
+POLY = 3  # piecewise-linear spline lane (road/lane.py:387-529)
 
 # AbstractLane constants (road/lane.py:16-17)
 DEFAULT_WIDTH = 4.0
@@ -125,6 +127,17 @@ class LaneGeometry(NamedTuple):
     # with longitudinal offsets into the query lane's frame
     conn_lanes: jnp.ndarray  # (L,K) int32, -1 pad
     conn_offsets: jnp.ndarray  # (L,K) f32
+    # poly-lane sample bank (dummy 1-entry bank when no poly lanes exist):
+    # per lane an index into (P, S) pose tables and (P, C) control points
+    poly_slot: jnp.ndarray  # (L,) int32, -1 = not a poly lane
+    poly_pos: jnp.ndarray  # (P,S,2) 1 m pose samples
+    poly_normal: jnp.ndarray  # (P,S,2) unit tangents
+    poly_n: jnp.ndarray  # (P,) valid sample counts
+    poly_cp_s: jnp.ndarray  # (P,C) control-point arc lengths (pad: +inf)
+    poly_cp_x: jnp.ndarray  # (P,C)
+    poly_cp_y: jnp.ndarray  # (P,C)
+    poly_cp_n: jnp.ndarray  # (P,) control-point counts
+    poly_width: jnp.ndarray  # (P,S) per-sample widths (PolyLane variable width)
 
     @property
     def num_lanes(self) -> int:
@@ -136,11 +149,74 @@ def _gather(geo: LaneGeometry, lane: jnp.ndarray):
     return jnp.clip(lane, 0, geo.kind.shape[0] - 1)
 
 
+def _poly_slot(geo: LaneGeometry, li):
+    return jnp.clip(geo.poly_slot[li], 0, geo.poly_pos.shape[0] - 1)
+
+
+def _poly_interp(geo: LaneGeometry, p, s):
+    """Linear interp + end extrapolation over control points
+    (road/spline.py:6-33).  p: (...,) bank slots; s: (...,).  Returns x, y."""
+    cp_s = geo.poly_cp_s[p]  # (...,C) padded +inf
+    cp_n = geo.poly_cp_n[p]
+    C = cp_s.shape[-1]
+    cols = jnp.arange(C)
+    count = jnp.sum(
+        (cp_s <= s[..., None]) & (cols < cp_n[..., None]), axis=-1
+    )
+    k = jnp.clip(count - 1, 0, jnp.maximum(cp_n - 2, 0))
+
+    def take(tab, idx):
+        return jnp.take_along_axis(tab, idx[..., None], axis=-1)[..., 0]
+
+    s0 = take(cp_s, k)
+    s1 = take(cp_s, k + 1)
+    t = (s - s0) / jnp.where(s1 == s0, 1.0, s1 - s0)
+    x = take(geo.poly_cp_x[p], k) + t * (
+        take(geo.poly_cp_x[p], k + 1) - take(geo.poly_cp_x[p], k)
+    )
+    y = take(geo.poly_cp_y[p], k) + t * (
+        take(geo.poly_cp_y[p], k + 1) - take(geo.poly_cp_y[p], k)
+    )
+    return x, y
+
+
+def _poly_segment_normal(geo: LaneGeometry, p, s):
+    """Unit tangent of the 1 m pose segment for s (road/spline.py:108-117)."""
+    n = geo.poly_n[p]
+    seg = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, n - 1)
+    normal = jnp.take_along_axis(
+        geo.poly_normal[p], seg[..., None, None], axis=-2
+    )[..., 0, :]
+    return normal
+
+
+def _poly_frenet(geo: LaneGeometry, p, pos):
+    """cartesian_to_frenet (road/spline.py:73-97): last pose (highest index
+    >= 1) with non-negative normal projection wins; pose 0 is the fallback."""
+    samples = geo.poly_pos[p]  # (...,S,2)
+    normals = geo.poly_normal[p]
+    S = samples.shape[-2]
+    idxs = jnp.arange(S)
+    delta = pos[..., None, :] - samples
+    proj = jnp.einsum("...sd,...sd->...s", normals, delta)
+    ortho_x, ortho_y = -normals[..., 1], normals[..., 0]
+    lat_all = ortho_x * delta[..., 0] + ortho_y * delta[..., 1]
+    valid = (idxs >= 1) & (idxs < geo.poly_n[p][..., None]) & (proj >= 0)
+    idx = jnp.max(jnp.where(valid, idxs, 0), axis=-1)  # 0 = fallback pose
+
+    def take(tab):
+        return jnp.take_along_axis(tab, idx[..., None], axis=-1)[..., 0]
+
+    s = idx.astype(proj.dtype) + take(proj)  # s_samples are 1 m apart
+    return s, take(lat_all)
+
+
 def local_coordinates(geo: LaneGeometry, lane: jnp.ndarray, pos: jnp.ndarray):
     """(longitudinal, lateral) lane coordinates of world positions.
 
     lane: (...,) int32; pos: (...,2). Returns two (...,) arrays.
-    Straight: road/lane.py:209-213; Sine: 282-286; Circular: 355-362.
+    Straight: road/lane.py:209-213; Sine: 282-286; Circular: 355-362;
+    Poly: 414-417 (sampled Frenet).
     """
     li = _gather(geo, lane)
     kind = geo.kind[li]
@@ -165,6 +241,11 @@ def local_coordinates(geo: LaneGeometry, lane: jnp.ndarray, pos: jnp.ndarray):
 
     s = jnp.where(kind == CIRCULAR, s_cir, s_str)
     lat = jnp.where(kind == CIRCULAR, r_cir, jnp.where(kind == SINE, r_sin, r_str))
+
+    if geo.poly_pos.shape[0] > 1 or bool(np.any(np.asarray(geo.poly_slot) >= 0)):
+        s_pol, lat_pol = _poly_frenet(geo, _poly_slot(geo, li), pos)
+        s = jnp.where(kind == POLY, s_pol, s)
+        lat = jnp.where(kind == POLY, lat_pol, lat)
     return s, lat
 
 
@@ -190,7 +271,19 @@ def position(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray, lat: jnp.ndar
     p_cir = geo.center[li] + (geo.radius[li] - lat * geo.cw[li])[..., None] * jnp.stack(
         [jnp.cos(phi), jnp.sin(phi)], axis=-1
     )
-    return jnp.where((kind == CIRCULAR)[..., None], p_cir, p_str)
+    out = jnp.where((kind == CIRCULAR)[..., None], p_cir, p_str)
+
+    if geo.poly_pos.shape[0] > 1 or bool(np.any(np.asarray(geo.poly_slot) >= 0)):
+        # PolyLaneFixedWidth.position (road/lane.py:409-412): control-point
+        # interpolation + lateral offset along the pose orthonormal
+        p = _poly_slot(geo, li)
+        x, y = _poly_interp(geo, p, s)
+        nrm = _poly_segment_normal(geo, p, s)
+        p_pol = jnp.stack(
+            [x - nrm[..., 1] * lat, y + nrm[..., 0] * lat], axis=-1
+        )
+        out = jnp.where((kind == POLY)[..., None], p_pol, out)
+    return out
 
 
 def heading_at(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray):
@@ -204,14 +297,30 @@ def heading_at(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray):
     )
     phi = geo.cw[li] * s / geo.radius[li] + geo.start_phase[li]
     h_cir = phi + jnp.pi / 2 * geo.cw[li]
-    return jnp.where(
+    out = jnp.where(
         kind == CIRCULAR, h_cir, jnp.where(kind == SINE, h_sin, h_str)
     )
+    if geo.poly_pos.shape[0] > 1 or bool(np.any(np.asarray(geo.poly_slot) >= 0)):
+        nrm = _poly_segment_normal(geo, _poly_slot(geo, li), s)
+        out = jnp.where(
+            kind == POLY, jnp.arctan2(nrm[..., 1], nrm[..., 0]), out
+        )
+    return out
 
 
 def width_at(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray):
     li = _gather(geo, lane)
-    return geo.width[li]
+    out = geo.width[li]
+    if geo.poly_pos.shape[0] > 1 or bool(np.any(np.asarray(geo.poly_slot) >= 0)):
+        # PolyLane variable width: sample at int(s) (road/lane.py:473-480)
+        p = _poly_slot(geo, li)
+        n = geo.poly_n[p]
+        idx = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, n - 1)
+        w_pol = jnp.take_along_axis(
+            geo.poly_width[p], idx[..., None], axis=-1
+        )[..., 0]
+        out = jnp.where(geo.kind[li] == POLY, w_pol, out)
+    return out
 
 
 def on_lane(
@@ -224,7 +333,7 @@ def on_lane(
     """road/lane.py:80-102 with precomputed local coordinates."""
     li = _gather(geo, lane)
     return (
-        (jnp.abs(lat) <= geo.width[li] / 2 + margin)
+        (jnp.abs(lat) <= width_at(geo, lane, s) / 2 + margin)
         & (-VEHICLE_LENGTH <= s)
         & (s < geo.length[li] + VEHICLE_LENGTH)
     )

@@ -29,6 +29,7 @@ from highwayenv_tpu.road.lane import (
     LINE_CONTINUOUS_LINE,
     LINE_NONE,
     LINE_STRIPED,
+    POLY,
     SINE,
     STRAIGHT,
     LaneGeometry,
@@ -172,13 +173,176 @@ class CircularLane:
         return s, lat
 
 
-LaneSpec = object  # StraightLane | SineLane | CircularLane
+def _interp_extrap(s, xs, ys):
+    """Linear interpolation with linear extrapolation at both ends
+    (road/spline.py:6-33 numpy_interp1d semantics)."""
+    s = np.asarray(s, float)
+    out = np.interp(s, xs, ys)
+    left = s < xs[0]
+    if np.any(left):
+        slope = (ys[1] - ys[0]) / (xs[1] - xs[0])
+        out = np.where(left, ys[0] + slope * (s - xs[0]), out)
+    right = s > xs[-1]
+    if np.any(right):
+        slope = (ys[-1] - ys[-2]) / (xs[-1] - xs[-2])
+        out = np.where(right, ys[-1] + slope * (s - xs[-1]), out)
+    return out
+
+
+class _Spline2D:
+    """Piece-wise linear curve with 1 m pose samples
+    (road/spline.py:36-141 LinearSpline2D)."""
+
+    SAMPLE_DISTANCE = 1.0
+
+    def __init__(self, points):
+        pts = np.asarray(points, float)
+        d = np.diff(pts, axis=0)
+        d = np.vstack([d, d[-1]])
+        arc = np.hstack([0.0, np.cumsum(np.linalg.norm(d[:-1], axis=1))])
+        self.cp_s, self.cp_x, self.cp_y = arc, pts[:, 0], pts[:, 1]
+        self.length = float(arc[-1])
+        n = int(np.floor(self.length / self.SAMPLE_DISTANCE))
+        self.s_samples = self.SAMPLE_DISTANCE * np.arange(n + 1)
+        x = _interp_extrap(self.s_samples, arc, pts[:, 0])
+        y = _interp_extrap(self.s_samples, arc, pts[:, 1])
+        dx = np.diff(x)
+        dx = np.hstack([dx, dx[-1]])
+        dy = np.diff(y)
+        dy = np.hstack([dy, dy[-1]])
+        norm = np.sqrt(dx**2 + dy**2)
+        self.pose_pos = np.stack([x, y], axis=1)
+        self.pose_normal = np.stack([dx / norm, dy / norm], axis=1)
+
+    def __call__(self, lon):
+        return (
+            float(_interp_extrap(lon, self.cp_s, self.cp_x)),
+            float(_interp_extrap(lon, self.cp_s, self.cp_y)),
+        )
+
+    def _segment(self, lon):
+        """road/spline.py:108-117 (first sample above lon, minus one)."""
+        if lon >= self.s_samples[-1]:
+            return len(self.s_samples) - 1
+        if lon < self.s_samples[0]:
+            return 0
+        smaller = np.argwhere(lon < self.s_samples)
+        if int(smaller[0].item()) == 0:
+            return 0
+        return int(smaller[0].item()) - 1
+
+    def cartesian_to_frenet(self, position):
+        """road/spline.py:73-97 (scan poses from the end)."""
+        p = np.asarray(position, float)
+        ortho = np.stack(
+            [-self.pose_normal[:, 1], self.pose_normal[:, 0]], axis=1
+        )
+        proj = np.einsum("sd,sd->s", self.pose_normal, p - self.pose_pos)
+        for idx in range(len(self.s_samples) - 1, 0, -1):
+            if proj[idx] >= 0:
+                return (
+                    float(self.s_samples[idx] + proj[idx]),
+                    float(ortho[idx] @ (p - self.pose_pos[idx])),
+                )
+        return float(proj[0]), float(ortho[0] @ (p - self.pose_pos[0]))
+
+
+class PolyLaneFixedWidth:
+    """Fixed-width piecewise-linear lane (road/lane.py:387-443)."""
+
+    kind = POLY
+
+    def __init__(
+        self,
+        lane_points,
+        width: float = DEFAULT_WIDTH,
+        line_types=None,
+        forbidden: bool = False,
+        speed_limit: float = 20,
+        priority: int = 0,
+    ):
+        self.curve = _Spline2D(lane_points)
+        self.lane_points = [list(map(float, p)) for p in lane_points]
+        self.length = self.curve.length
+        self.width = width
+        self.line_types = list(line_types) if line_types else [1, 1]
+        self.forbidden = forbidden
+        self.speed_limit = speed_limit
+        self.priority = priority
+
+    # width samples: constant for the fixed-width variant
+    def width_samples(self):
+        n = len(self.curve.s_samples)
+        return np.full(n, self.width, float)
+
+    def heading_at(self, s):
+        n = self.curve.pose_normal[self.curve._segment(s)]
+        return float(np.arctan2(n[1], n[0]))
+
+    def position(self, s, lat):
+        x, y = self.curve(s)
+        yaw = self.heading_at(s)
+        return np.array([x - np.sin(yaw) * lat, y + np.cos(yaw) * lat])
+
+    def local_coordinates(self, pos):
+        return self.curve.cartesian_to_frenet(pos)
+
+
+class PolyLane(PolyLaneFixedWidth):
+    """Variable-width poly lane bounded by two boundary curves
+    (road/lane.py:446-529)."""
+
+    def __init__(
+        self,
+        lane_points,
+        left_boundary_points,
+        right_boundary_points,
+        line_types=None,
+        forbidden: bool = False,
+        speed_limit: float = 20,
+        priority: int = 0,
+    ):
+        super().__init__(
+            lane_points,
+            line_types=line_types,
+            forbidden=forbidden,
+            speed_limit=speed_limit,
+            priority=priority,
+        )
+        self.left_boundary = _Spline2D(left_boundary_points)
+        self.right_boundary = _Spline2D(right_boundary_points)
+        # sampled widths every ~1 m (lane.py:503-529)
+        s_samples = np.linspace(
+            0, self.curve.length, num=int(np.ceil(self.curve.length)) + 1
+        )
+        self._width_samples = np.array(
+            [self._width_at_s(s) for s in s_samples]
+        )
+        self.width = float(self._width_samples[0])
+
+    def _width_at_s(self, s):
+        cx, cy = self.position(s, 0)
+        r_lon, _ = self.right_boundary.cartesian_to_frenet([cx, cy])
+        rx, ry = self.right_boundary(r_lon)
+        l_lon, _ = self.left_boundary.cartesian_to_frenet([cx, cy])
+        lx, ly = self.left_boundary(l_lon)
+        d_r = np.hypot(rx - cx, ry - cy)
+        d_l = np.hypot(lx - cx, ly - cy)
+        return max(min(d_r, d_l) * 2, DEFAULT_WIDTH)
+
+    def width_samples(self):
+        # indexed by int(s) at runtime (lane.py:473-480)
+        return np.asarray(self._width_samples, float)
+
+
+LaneSpec = object  # StraightLane | SineLane | CircularLane | PolyLane*
 
 
 def lane_from_config(cfg: dict):
     """Instantiate a lane spec from a serialized config
-    (road/lane.py:538-539; dispatch on the reference class path's tail)."""
-    name = cfg["class_path"].rsplit(".", 1)[-1]
+    (road/lane.py:538-539; poly lanes use "class_name", others "class_path")."""
+    path = cfg.get("class_path") or cfg.get("class_name")
+    name = path.rsplit(".", 1)[-1]
     kwargs = dict(cfg["config"])
     if name == "StraightLane":
         return StraightLane(**kwargs)
@@ -186,7 +350,17 @@ def lane_from_config(cfg: dict):
         return SineLane(**kwargs)
     if name == "CircularLane":
         return CircularLane(**kwargs)
-    raise ValueError(f"Unknown lane class {cfg['class_path']}")
+    if name == "PolyLaneFixedWidth":
+        return PolyLaneFixedWidth(**kwargs)
+    if name == "PolyLane":
+        pts = kwargs.pop("ordered_boundary_points")
+        half = len(pts) // 2
+        left = list(reversed(pts[:half]))
+        right = pts[half:]
+        return PolyLane(
+            left_boundary_points=left, right_boundary_points=right, **kwargs
+        )
+    raise ValueError(f"Unknown lane class {path}")
 
 
 class RoadNetworkBuilder:
@@ -321,6 +495,19 @@ class RoadNetworkBuilder:
             "speed_limit": lane.speed_limit,
             "priority": int(lane.priority),
         }
+        if isinstance(lane, PolyLane):
+            # the reference poly to_config uses "class_name" (road/lane.py:430)
+            bnd = [list(p) for p in reversed(self._spline_points(lane.left_boundary))]
+            bnd += [list(p) for p in self._spline_points(lane.right_boundary)]
+            cfg = {
+                "lane_points": lane.lane_points,
+                "ordered_boundary_points": bnd,
+                **{k: v for k, v in common.items() if k != "width"},
+            }
+            return {"class_name": "PolyLane", "config": cfg}
+        if isinstance(lane, PolyLaneFixedWidth):
+            cfg = {"lane_points": lane.lane_points, **common}
+            return {"class_name": "PolyLaneFixedWidth", "config": cfg}
         if isinstance(lane, SineLane):
             cfg = {
                 "start": [float(x) for x in lane.start],
@@ -351,6 +538,10 @@ class RoadNetworkBuilder:
         else:
             raise TypeError(type(lane))
         return {"class_path": path, "config": cfg}
+
+    @staticmethod
+    def _spline_points(spline: "_Spline2D"):
+        return list(zip(spline.cp_x.tolist(), spline.cp_y.tolist()))
 
     @classmethod
     def from_config(cls, config: dict) -> "RoadNetworkBuilder":
@@ -485,11 +676,12 @@ class RoadNetworkBuilder:
                         amplitude[g] = lane.amplitude
                         pulsation[g] = lane.pulsation
                         phase[g] = lane.phase
-                else:  # CIRCULAR
+                elif lane.kind == CIRCULAR:
                     center[g] = lane.center
                     radius[g] = lane.radius
                     start_phase[g] = lane.start_phase
                     cw[g] = lane.direction
+                # POLY lanes are stored via the sample bank below
                 g += 1
         for e, key in enumerate(edge_keys):
             base = edge_bases[key]
@@ -547,6 +739,59 @@ class RoadNetworkBuilder:
                 conn_offsets[g_idx, col] = -length[prev]
                 col += 1
 
+        # poly-lane sample bank (dummy 1-entry bank when absent)
+        poly_lanes = [
+            (g_idx, lane)
+            for g_idx, lane in enumerate(
+                lane for lanes_ in self._edges.values() for lane in lanes_
+            )
+            if lane.kind == POLY
+        ]
+        poly_slot = np.full(L, -1, np.int32)
+        if poly_lanes:
+            P = len(poly_lanes)
+            S = max(len(lane.curve.s_samples) for _, lane in poly_lanes)
+            C = max(len(lane.curve.cp_s) for _, lane in poly_lanes)
+            Sw = max(max(len(lane.width_samples()) for _, lane in poly_lanes), S)
+            poly_pos = np.zeros((P, S, 2), f32)
+            poly_normal = np.zeros((P, S, 2), f32)
+            poly_n = np.zeros(P, np.int32)
+            poly_cp_s = np.full((P, C), np.inf, f32)
+            poly_cp_x = np.zeros((P, C), f32)
+            poly_cp_y = np.zeros((P, C), f32)
+            poly_cp_n = np.zeros(P, np.int32)
+            poly_width = np.zeros((P, Sw), f32)
+            for p, (g_idx, lane) in enumerate(poly_lanes):
+                poly_slot[g_idx] = p
+                n = len(lane.curve.s_samples)
+                poly_pos[p, :n] = lane.curve.pose_pos
+                poly_pos[p, n:] = lane.curve.pose_pos[-1]
+                poly_normal[p, :n] = lane.curve.pose_normal
+                poly_normal[p, n:] = lane.curve.pose_normal[-1]
+                poly_n[p] = n
+                c_n = len(lane.curve.cp_s)
+                poly_cp_s[p, :c_n] = lane.curve.cp_s
+                poly_cp_x[p, :c_n] = lane.curve.cp_x
+                poly_cp_x[p, c_n:] = lane.curve.cp_x[-1]
+                poly_cp_y[p, :c_n] = lane.curve.cp_y
+                poly_cp_y[p, c_n:] = lane.curve.cp_y[-1]
+                poly_cp_n[p] = c_n
+                ws = lane.width_samples()
+                poly_width[p, : len(ws)] = ws
+                poly_width[p, len(ws):] = ws[-1]
+        else:
+            poly_pos = np.zeros((1, 1, 2), f32)
+            poly_normal = np.tile(np.asarray([[1.0, 0.0]], f32), (1, 1)).reshape(
+                1, 1, 2
+            )
+            poly_n = np.ones(1, np.int32)
+            poly_cp_s = np.zeros((1, 2), f32)
+            poly_cp_s[0, 1] = 1.0
+            poly_cp_x = np.zeros((1, 2), f32)
+            poly_cp_y = np.zeros((1, 2), f32)
+            poly_cp_n = np.full(1, 2, np.int32)
+            poly_width = np.full((1, 1), DEFAULT_WIDTH, f32)
+
         # NOTE: tables stay in host numpy (see lane.Table): lane kernels
         # consume them as trace-time constants, so jit embeds the small
         # tables directly in the program with no device transfers at
@@ -585,4 +830,13 @@ class RoadNetworkBuilder:
             pred_edge_n=Table(pred_edge_n),
             conn_lanes=Table(conn_lanes),
             conn_offsets=Table(conn_offsets),
+            poly_slot=Table(poly_slot),
+            poly_pos=Table(poly_pos),
+            poly_normal=Table(poly_normal),
+            poly_n=Table(poly_n),
+            poly_cp_s=Table(poly_cp_s),
+            poly_cp_x=Table(poly_cp_x),
+            poly_cp_y=Table(poly_cp_y),
+            poly_cp_n=Table(poly_cp_n),
+            poly_width=Table(poly_width),
         )
