@@ -64,7 +64,25 @@ class Table:
             isinstance(idx, tuple) and all(isinstance(i, (int, slice)) for i in idx)
         ):
             return self.a[idx]
-        return jnp.take(self.a, idx, axis=0, mode="clip")
+        import numpy as _np
+
+        if isinstance(idx, _np.ndarray):
+            return self.a[_np.clip(idx, 0, self.a.shape[0] - 1)]
+        # Traced indices: select-reduce over the (small) table instead of a
+        # gather — gathers break XLA fusion on TPU and dominated HBM traffic.
+        # where/sum (not one-hot multiply) so rows containing inf stay exact.
+        L = self.a.shape[0]
+        if L > 64:  # large banks: a real gather is cheaper
+            return jnp.take(self.a, idx, axis=0, mode="clip")
+        oh = idx[..., None] == jnp.arange(L)  # (..., L)
+        tab = jnp.asarray(self.a)
+        if tab.ndim > 1:
+            oh = oh.reshape(oh.shape + (1,) * (tab.ndim - 1))
+        if tab.dtype == jnp.bool_:
+            return jnp.any(oh & tab, axis=-tab.ndim)
+        return jnp.sum(
+            jnp.where(oh, tab, jnp.zeros((), tab.dtype)), axis=-tab.ndim
+        )
 
     def __array__(self, dtype=None):
         return self.a if dtype is None else self.a.astype(dtype)
@@ -411,23 +429,29 @@ def closest_lane(geo: LaneGeometry, pos: jnp.ndarray, heading: jnp.ndarray):
 
 
 def projection_table(geo: LaneGeometry, pos: jnp.ndarray):
-    """(s, lat) of every object on every lane: pos (...,V,2) -> two (...,V,L).
+    """(s, lat) of every object on every lane: pos (...,V,2) -> two (...,L,V).
 
     The engine computes this once per simulation frame; every subsequent
     lane-projection query (neighbour search, IDM gaps, MOBIL conflicts, lane
-    re-localization) becomes a gather / one-hot matmul against the table
-    instead of an independent O(V^2) trigonometric pass.
+    re-localization) becomes a one-hot contraction against the table instead
+    of an independent O(V^2) trigonometric pass.
+
+    Layout note: lanes-major (L, V) so the minormost axis is the (large)
+    vehicle axis — TPU tiles pad the last dim to 128 and a trailing L=4 axis
+    wasted ~30x HBM traffic.
     """
     L = geo.num_lanes
     all_lanes = jnp.arange(L, dtype=jnp.int32)
-    return local_coordinates(geo, all_lanes, pos[..., None, :])
+    return local_coordinates(
+        geo, all_lanes[..., :, None], pos[..., None, :, :]
+    )
 
 
 def heading_table(geo: LaneGeometry, s_table: jnp.ndarray):
-    """Lane heading at the table's longitudinal coordinates: (...,V,L)."""
+    """Lane heading at the table's longitudinal coordinates: (...,L,V)."""
     L = geo.num_lanes
     all_lanes = jnp.arange(L, dtype=jnp.int32)
-    return heading_at(geo, all_lanes, s_table)
+    return heading_at(geo, all_lanes[..., :, None], s_table)
 
 
 def closest_lane_from_table(
@@ -437,12 +461,12 @@ def closest_lane_from_table(
     heading: jnp.ndarray,
     heading_weight: float = 1.0,
 ):
-    """closest_lane reusing a precomputed projection table."""
+    """closest_lane reusing a precomputed (L, V) projection table."""
     L = geo.num_lanes
     all_lanes = jnp.arange(L, dtype=jnp.int32)
-    lane_len = geo.length[all_lanes]
+    lane_len = geo.length[all_lanes][..., :, None]
     angle = jnp.abs(
-        wrap_to_pi(heading[..., None] - heading_table(geo, s_table))
+        wrap_to_pi(heading[..., None, :] - heading_table(geo, s_table))
     )
     d = (
         jnp.abs(lat_table)
@@ -450,26 +474,44 @@ def closest_lane_from_table(
         + jnp.maximum(-s_table, 0.0)
         + heading_weight * angle
     )
-    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+    return jnp.argmin(d, axis=-2).astype(jnp.int32)
+
+
+def lane_onehot(lane_idx: jnp.ndarray, L: int, dtype=jnp.float32):
+    """(..., K) lane ids -> (..., L, K) one-hot (lanes-major)."""
+    return (
+        lane_idx[..., None, :] == jnp.arange(L, dtype=lane_idx.dtype)[:, None]
+    ).astype(dtype)
+
+
+def row_lookup(table: jnp.ndarray, lane_idx: jnp.ndarray):
+    """Row-aligned lane select: table (...,L,V), lane_idx (...,V) -> (...,V).
+
+    One-hot multiply-reduce instead of a gather: fuses into neighbouring
+    elementwise ops (TPU gathers break fusion and dominated the frame's HBM
+    traffic)."""
+    L = table.shape[-2]
+    oh = lane_onehot(lane_idx, L, table.dtype)  # (...,L,V)
+    return jnp.sum(table * oh, axis=-2)
 
 
 def table_lookup(table: jnp.ndarray, vehicle_idx: jnp.ndarray, lane_idx: jnp.ndarray):
-    """table (...,V,L) -> values at (vehicle_idx, lane_idx), both (...,K)."""
-    V = table.shape[-2]
-    L = table.shape[-1]
-    flat = table.reshape(table.shape[:-2] + (V * L,))
-    ii = jnp.clip(vehicle_idx, 0, V - 1) * L + jnp.clip(lane_idx, 0, L - 1)
-    return jnp.take_along_axis(flat, ii, axis=-1)
+    """table (...,L,V) -> values at (vehicle_idx, lane_idx), both (...,K).
+
+    Implemented as one-hot contractions (MXU) rather than a flat gather —
+    see row_lookup."""
+    V = table.shape[-1]
+    oh_v = jax.nn.one_hot(vehicle_idx, V, dtype=table.dtype)  # (...,K,V)
+    rows = jnp.einsum("...kv,...lv->...lk", oh_v, table)
+    return row_lookup(rows, lane_idx)
 
 
 def pair_project(table: jnp.ndarray, query_lane: jnp.ndarray):
     """All-pairs projection via one-hot matmul (MXU-friendly).
 
-    table (...,V,L), query_lane (...,V) -> out (...,V,V) with
-    out[i, j] = table[j, query_lane[i]].  The one-hot contraction is exact
-    (each row selects a single entry) and maps onto the MXU as a batched
-    (V,L)x(L,V) matmul rather than a scatter/gather.
+    table (...,L,V), query_lane (...,V) -> out (...,V,V) with
+    out[i, j] = table[query_lane[i], j]: a clean (V,L)x(L,V) batched matmul.
     """
-    L = table.shape[-1]
+    L = table.shape[-2]
     onehot = jax.nn.one_hot(query_lane, L, dtype=table.dtype)  # (...,V,L)
-    return jnp.einsum("...il,...jl->...ij", onehot, table)
+    return jnp.einsum("...il,...lj->...ij", onehot, table)

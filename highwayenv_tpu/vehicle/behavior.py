@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from highwayenv_tpu.road import lane as lane_ops
@@ -60,61 +61,9 @@ class Neighbours(NamedTuple):
     s_self: jnp.ndarray  # (...,V) s of i on its query lane
 
 
-class LaneIndexStruct(NamedTuple):
-    """Per-frame sorted per-lane occupancy index (see build_lane_index)."""
-
-    sorted_s: jnp.ndarray  # (...,V,L) column-sorted longitudinal coords (+inf pad)
-    order: jnp.ndarray  # (...,V,L) vehicle id at each sorted slot
-
-
 def _self_idx(state: VehicleState) -> jnp.ndarray:
     V = state.num_slots
     return jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), state.kind.shape)
-
-
-# --------------------------------------------------------------------------- #
-# neighbour search: per-lane sorted index + vectorized binary search
-# --------------------------------------------------------------------------- #
-#
-# The reference's Road.neighbour_vehicles (road/road.py:483-547) scans all
-# objects per query.  A naive vectorization is an O(V^2) pair matrix per
-# query — 4+ queries/frame made the engine HBM-bound.  Instead we build, once
-# per frame, a per-lane sorted index of lane occupants (O(V L) memory), and
-# answer each front/rear query with an O(log V) binary search: the front
-# neighbour is the first sorted entry with s >= s_self (skipping self), the
-# rear the entry just below.  Tie semantics match the reference's
-# first-minimum argmin except exactly-equal rear coordinates (PARITY.md #3).
-
-
-def build_lane_index(
-    geo: LaneGeometry,
-    state: VehicleState,
-    table_s: jnp.ndarray,
-    table_lat: jnp.ndarray,
-) -> LaneIndexStruct:
-    L = geo.num_lanes
-    lanes = jnp.arange(L, dtype=jnp.int32)
-    width = geo.width[lanes]
-    length = geo.length[lanes]
-    on = (
-        (jnp.abs(table_lat) <= width / 2 + 1.0)
-        & (-VEHICLE_LENGTH <= table_s)
-        & (table_s < length + VEHICLE_LENGTH)
-    )
-    elig = (
-        on
-        & state.active[..., :, None]
-        & (state.kind != KIND_LANDMARK)[..., :, None]
-    )
-    key = jnp.where(elig, table_s, jnp.inf)
-    order = jnp.argsort(key, axis=-2, stable=True).astype(jnp.int32)
-    sorted_s = jnp.take_along_axis(key, order, axis=-2)
-    return LaneIndexStruct(sorted_s=sorted_s, order=order)
-
-
-def _column_lookup(table: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray):
-    """table (...,V,L); row,col (...,K) -> (...,K)."""
-    return lane_ops.table_lookup(table, row, col)
 
 
 def neighbours_connected(
@@ -134,41 +83,34 @@ def neighbours_connected(
     object (reference uses <=), the rear keeps the first (strict >).
     """
     V = state.num_slots
-    self_idx = _self_idx(state)
     q = lane_ops._gather(geo, query_lane)
-    s_self = lane_ops.table_lookup(table_s, self_idx, query_lane)
+    s_self = lane_ops.row_lookup(table_s, query_lane)
 
     cand = geo.conn_lanes[q]  # (V, K)
     offs = geo.conn_offsets[q]  # (V, K)
     K = cand.shape[-1]
-    cl = jnp.clip(cand, 0, geo.num_lanes - 1)
+    L = geo.num_lanes
+    cl = jnp.clip(cand, 0, L - 1)
 
-    # (V_query, V_other, K) projections: per (i, j, k) = table[j, cand[i, k]]
-    cand_b = jnp.broadcast_to(cl[..., :, None, :], cl.shape[:-2] + (V, V, K))
-    s_jk = jnp.take_along_axis(
-        jnp.broadcast_to(table_s[..., None, :, :], table_s.shape[:-2] + (V, V, table_s.shape[-1])),
-        cand_b,
-        axis=-1,
-    )
-    lat_jk = jnp.take_along_axis(
-        jnp.broadcast_to(table_lat[..., None, :, :], table_lat.shape[:-2] + (V, V, table_lat.shape[-1])),
-        cand_b,
-        axis=-1,
-    )
-    width_k = geo.width[cl][..., :, None, :]
-    len_k = geo.length[cl][..., :, None, :]
+    # per (i, k, j) = table[cand[i, k], j]: one-hot contraction over lanes
+    oh = jax.nn.one_hot(cl, L, dtype=table_s.dtype)  # (...,V,K,L)
+    s_jk = jnp.einsum("...ikl,...lj->...ikj", oh, table_s)  # (V,K,V)
+    lat_jk = jnp.einsum("...ikl,...lj->...ikj", oh, table_lat)
+    width_k = geo.width[cl][..., :, :, None]
+    len_k = geo.length[cl][..., :, :, None]
     on = (
         (jnp.abs(lat_jk) <= width_k / 2 + 1.0)
         & (-VEHICLE_LENGTH <= s_jk)
         & (s_jk < len_k + VEHICLE_LENGTH)
-        & (cand[..., :, None, :] >= 0)
+        & (cand[..., :, :, None] >= 0)
+    )  # (V,K,V)
+    first_k = jnp.argmax(on, axis=-2)  # (V,V)
+    matched = jnp.any(on, axis=-2)
+    oh_first = jax.nn.one_hot(first_k, K, dtype=s_jk.dtype)  # (V,V,K)
+    s_assigned = jnp.einsum("...ikj,...ijk->...ij", s_jk, oh_first)
+    s_assigned = s_assigned + jnp.einsum(
+        "...ik,...ijk->...ij", offs, oh_first
     )
-    first_k = jnp.argmax(on, axis=-1)  # (V, V)
-    matched = jnp.any(on, axis=-1)
-    s_assigned = jnp.take_along_axis(s_jk, first_k[..., None], axis=-1)[..., 0]
-    s_assigned = s_assigned + jnp.take_along_axis(
-        offs[..., :, None, :], first_k[..., None], axis=-1
-    )[..., 0]
 
     eye = jnp.eye(V, dtype=bool)
     elig = (
@@ -200,62 +142,71 @@ def neighbours_connected(
     return Neighbours(front_idx, front_ex, rear_idx, rear_ex, s_self)
 
 
+def _eligible_on_lane(geo: LaneGeometry, state: VehicleState, table_s, table_lat):
+    """(L, V) mask: object j counts as occupying lane l (margin 1 m),
+    matching Road.neighbour_vehicles' on-lane filter (road/road.py:531-538)."""
+    L = geo.num_lanes
+    lanes = jnp.arange(L, dtype=jnp.int32)
+    width = geo.width[lanes][..., :, None]
+    length = geo.length[lanes][..., :, None]
+    on = (
+        (jnp.abs(table_lat) <= width / 2 + 1.0)
+        & (-VEHICLE_LENGTH <= table_s)
+        & (table_s < length + VEHICLE_LENGTH)
+    )
+    return (
+        on
+        & state.active[..., None, :]
+        & (state.kind != KIND_LANDMARK)[..., None, :]
+    )
+
+
 def neighbours(
     geo: LaneGeometry,
     state: VehicleState,
     query_lane: jnp.ndarray,
     table_s: jnp.ndarray,
-    index: LaneIndexStruct,
+    table_lat: jnp.ndarray | None = None,
+    elig: jnp.ndarray | None = None,
 ) -> Neighbours:
-    """Front/rear object of each vehicle projected on its query lane."""
+    """Front/rear object of each vehicle projected on its query lane.
+
+    Dense (V, V) formulation: one one-hot matmul projects every object onto
+    every query lane (MXU), then masked min/max pick the neighbours.  On TPU
+    this beats the sorted-index binary search by a wide margin — gathers
+    break fusion and made the frame HBM-bound.  First-minimum tie-break as
+    before (PARITY.md #3).
+    """
     V = state.num_slots
-    self_idx = _self_idx(state)
-    s_self = lane_ops.table_lookup(table_s, self_idx, query_lane)
-    col = jnp.clip(query_lane, 0, geo.num_lanes - 1)
+    s_self = lane_ops.row_lookup(table_s, query_lane)
+    if elig is None:
+        assert table_lat is not None
+        elig = _eligible_on_lane(geo, state, table_s, table_lat)
 
-    # lower_bound of s_self in the query lane's sorted column
-    lo = jnp.zeros_like(query_lane)
-    hi = jnp.full_like(query_lane, V)
-    n_iter = max(1, (V).bit_length())
-    for _ in range(n_iter):
-        mid = (lo + hi) // 2
-        val = _column_lookup(index.sorted_s, jnp.minimum(mid, V - 1), col)
-        go_right = (val < s_self) & (mid < hi)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    pos = lo  # first sorted index with s >= s_self (or V)
-
-    def entry(p):
-        pc = jnp.clip(p, 0, V - 1)
-        idx = _column_lookup(index.order, pc, col)
-        s = _column_lookup(index.sorted_s, pc, col)
-        return idx, s
-
-    idx0, s0 = entry(pos)
-    is_self0 = idx0 == self_idx
-    front_pos = jnp.where(is_self0, pos + 1, pos)
-    front_idx, front_s = entry(front_pos)
-    front_ex = (front_pos < V) & jnp.isfinite(front_s)
-    # self may sit later in an equal-s run; the reference would still pick the
-    # first equal-s non-self entry, which is what pos yields unless pos IS
-    # self (then the next entry is the correct front).
-
-    rear_pos = pos - 1
-    rear_idx, rear_s = entry(rear_pos)
-    # the entry below the lower bound can still be self only if s==s_self and
-    # ordering placed self below pos, which lower_bound excludes; guard anyway
-    is_self_r = rear_idx == self_idx
-    rear_pos = jnp.where(is_self_r, rear_pos - 1, rear_pos)
-    rear_idx, rear_s = entry(rear_pos)
-    rear_ex = (rear_pos >= 0) & jnp.isfinite(rear_s)
-
-    return Neighbours(
-        front_idx.astype(jnp.int32),
-        front_ex,
-        rear_idx.astype(jnp.int32),
-        rear_ex,
-        s_self,
+    s_pairs = lane_ops.pair_project(table_s, query_lane)  # (V,V)
+    e_pairs = (
+        lane_ops.pair_project(elig.astype(table_s.dtype), query_lane) > 0.5
     )
+    eye = jnp.eye(V, dtype=bool)
+    ok = e_pairs & ~eye
+
+    front_ok = ok & (s_self[..., :, None] <= s_pairs)
+    f_key = jnp.where(front_ok, s_pairs, jnp.inf)
+    f_min = jnp.min(f_key, axis=-1)
+    front_idx = jnp.argmax(
+        front_ok & (f_key == f_min[..., None]), axis=-1
+    ).astype(jnp.int32)
+    front_ex = jnp.isfinite(f_min)
+
+    rear_ok = ok & (s_pairs < s_self[..., :, None])
+    r_key = jnp.where(rear_ok, s_pairs, -jnp.inf)
+    r_max = jnp.max(r_key, axis=-1)
+    rear_idx = jnp.argmax(
+        rear_ok & (r_key == r_max[..., None]), axis=-1
+    ).astype(jnp.int32)
+    rear_ex = jnp.any(rear_ok, axis=-1)
+
+    return Neighbours(front_idx, front_ex, rear_idx, rear_ex, s_self)
 
 
 # --------------------------------------------------------------------------- #
@@ -280,15 +231,47 @@ def _accel_pair(
     *decider's* delta exponent, the ego's target speed clipped by its current
     lane's speed limit, and the gap measured on the ego's current lane.
     Returns 0 where the ego is absent or not a Vehicle (behavior.py:170-171).
+
+    All index lookups are one-hot contractions (one stacked matmul per index
+    array) rather than gathers — gathers break XLA fusion on TPU.
     """
+    V = state.num_slots
+    dt_ = table_s.dtype
+    oh_ego = jax.nn.one_hot(ego_idx, V, dtype=dt_)  # (...,K,V)
+    oh_front = jax.nn.one_hot(front_idx, V, dtype=dt_)
 
-    def take(x, i):
-        return jnp.take_along_axis(x, i, axis=-1)
+    # stacked per-index field fetch: one matmul per one-hot matrix
+    ego_fields = jnp.stack(
+        [
+            state.speed,
+            state.target_speed,
+            state.lane.astype(dt_),
+            jnp.cos(state.heading),
+            jnp.sin(state.heading),
+            state.is_vehicle.astype(dt_),
+        ],
+        axis=-1,
+    )  # (...,V,6)
+    eg = jnp.einsum("...kv,...vf->...kf", oh_ego, ego_fields)
+    ego_speed, ego_ts = eg[..., 0], eg[..., 1]
+    ego_lane = jnp.round(eg[..., 2]).astype(jnp.int32)
+    ego_dir_x, ego_dir_y = eg[..., 3], eg[..., 4]
+    ego_is_vehicle = eg[..., 5] > 0.5
 
-    ego_speed = take(state.speed, ego_idx)
-    ego_ts = take(state.target_speed, ego_idx)
-    ego_lane = take(state.lane, ego_idx)
-    limit = geo.speed_limit[lane_ops._gather(geo, ego_lane)]
+    front_fields = jnp.stack(
+        [
+            state.speed * jnp.cos(state.heading),
+            state.speed * jnp.sin(state.heading),
+            state.speed,
+        ],
+        axis=-1,
+    )
+    fr = jnp.einsum("...kv,...vf->...kf", oh_front, front_fields)
+    front_vx, front_vy = fr[..., 0], fr[..., 1]
+    front_speed = fr[..., 2]
+
+    ego_ts_raw = ego_ts
+    limit = geo.speed_limit[ego_lane]
     ego_ts = jnp.where(jnp.isinf(limit), ego_ts, jnp.clip(ego_ts, 0.0, limit))
 
     free = p.comfort_acc_max * (
@@ -299,18 +282,17 @@ def _accel_pair(
         )
     )
 
-    # gap on the ego's current lane (objects.py:183-198), via the table
-    s_e = lane_ops.table_lookup(table_s, ego_idx, ego_lane)
-    s_f = lane_ops.table_lookup(table_s, front_idx, ego_lane)
+    # gap on the ego's current lane (objects.py:183-198), via the table:
+    # rows for ego/front come from the same one-hot matmuls
+    rows_e = jnp.einsum("...kv,...lv->...lk", oh_ego, table_s)
+    rows_f = jnp.einsum("...kv,...lv->...lk", oh_front, table_s)
+    s_e = lane_ops.row_lookup(rows_e, ego_lane)
+    s_f = lane_ops.row_lookup(rows_f, ego_lane)
     d = s_f - s_e
 
     # desired gap (behavior.py:192-217), projected relative speed
-    ego_head = take(state.heading, ego_idx)
-    ego_dir_x, ego_dir_y = jnp.cos(ego_head), jnp.sin(ego_head)
-    front_head = take(state.heading, front_idx)
-    front_speed = take(state.speed, front_idx)
-    dvx = ego_speed * ego_dir_x - front_speed * jnp.cos(front_head)
-    dvy = ego_speed * ego_dir_y - front_speed * jnp.sin(front_head)
+    dvx = ego_speed * ego_dir_x - front_vx
+    dvy = ego_speed * ego_dir_y - front_vy
     dv = dvx * ego_dir_x + dvy * ego_dir_y
 
     ab = -p.comfort_acc_max * p.comfort_acc_min
@@ -326,7 +308,7 @@ def _accel_pair(
     # LinearVehicle deciders use the linear model instead
     # (vehicle/behavior.py:417-466): theta . [vt, dv, dp] with raw speeds
     # and TIME_WANTED = 2.5
-    vt = take(state.target_speed, ego_idx) - ego_speed
+    vt = ego_ts_raw - ego_speed
     d_safe = p.distance_wanted + jnp.maximum(ego_speed, 0.0) * 2.5
     dv_raw = jnp.minimum(front_speed - ego_speed, 0.0)
     dp = jnp.minimum(d - d_safe, 0.0)
@@ -338,7 +320,6 @@ def _accel_pair(
     )
     acc = jnp.where(state.kind == KIND_LINEAR, acc_lin, acc)
 
-    ego_is_vehicle = take(state.is_vehicle, ego_idx)
     return jnp.where(ego_exists & ego_is_vehicle, acc, 0.0)
 
 
@@ -348,11 +329,13 @@ def _accel_pair(
 
 
 def _query_neighbours(
-    geo, state, query_lane, table_s, table_lat, index, connected: bool
+    geo, state, query_lane, table_s, table_lat, elig, connected: bool
 ) -> Neighbours:
     if connected:
         return neighbours_connected(geo, state, query_lane, table_s, table_lat)
-    return neighbours(geo, state, query_lane, table_s, index)
+    return neighbours(
+        geo, state, query_lane, table_s, table_lat=table_lat, elig=elig
+    )
 
 
 def _mobil(
@@ -363,13 +346,13 @@ def _mobil(
     neigh_cur: Neighbours,
     table_s: jnp.ndarray,
     table_lat: jnp.ndarray,
-    index: LaneIndexStruct,
+    elig: jnp.ndarray,
     connected: bool,
 ):
     """Vectorized IDMVehicle.mobil (behavior.py:265-324). Returns (V,) bool."""
     self_idx = _self_idx(state)
     n_new = _query_neighbours(
-        geo, state, cand_lane, table_s, table_lat, index, connected
+        geo, state, cand_lane, table_s, table_lat, elig, connected
     )
     np_idx, np_ex = n_new.front_idx, n_new.front_ex
     nf_idx, nf_ex = n_new.rear_idx, n_new.rear_ex
@@ -421,7 +404,7 @@ def change_lane_policy(
     state: VehicleState,
     table_s: jnp.ndarray,
     table_lat: jnp.ndarray,
-    index: LaneIndexStruct,
+    elig: jnp.ndarray,
     connected: bool = False,
 ):
     """Vectorized IDMVehicle.change_lane_policy (behavior.py:219-263).
@@ -439,7 +422,7 @@ def change_lane_policy(
     same_road = geo.edge_base[li] == geo.edge_base[tli]
 
     neigh_cur = _query_neighbours(
-        geo, state, state.lane, table_s, table_lat, index, connected
+        geo, state, state.lane, table_s, table_lat, elig, connected
     )
 
     # ---- abort-on-conflict while mid-change (behavior.py:229-243) -------- #
@@ -490,8 +473,8 @@ def change_lane_policy(
         exists = (cand_id >= 0) & (cand_id < edge_n)
         cand = jnp.clip(edge_base + cand_id, 0, geo.num_lanes - 1)
         # is_reachable_from via the table (road/lane.py:104-118)
-        s_c = lane_ops.table_lookup(table_s, self_idx, cand)
-        lat_c = lane_ops.table_lookup(table_lat, self_idx, cand)
+        s_c = lane_ops.row_lookup(table_s, cand)
+        lat_c = lane_ops.row_lookup(table_lat, cand)
         cli = lane_ops._gather(geo, cand)
         reachable = (
             (jnp.abs(lat_c) <= 2 * geo.width[cli])
@@ -505,7 +488,7 @@ def change_lane_policy(
             & reachable
             & moving
             & _mobil(
-                geo, p, state, cand, neigh_cur, table_s, table_lat, index,
+                geo, p, state, cand, neigh_cur, table_s, table_lat, elig,
                 connected,
             )
         )
@@ -528,9 +511,9 @@ def idm_act(
     Returns the state with updated target lanes/timers plus the computed
     (steering, accel) for IDM vehicles (callers mask them in).
     """
-    index = build_lane_index(geo, state, table_s, table_lat)
+    elig = _eligible_on_lane(geo, state, table_s, table_lat)
     state, neigh_cur = change_lane_policy(
-        geo, p, state, table_s, table_lat, index, connected
+        geo, p, state, table_s, table_lat, elig, connected
     )
 
     steering = controller.steering_control_from_table(
@@ -540,8 +523,8 @@ def idm_act(
     # steering parameters, no slip-angle inversion
     V = state.num_slots
     self_i = _self_idx(state)
-    s_t = lane_ops.table_lookup(table_s, self_i, state.target_lane)
-    lat_t = lane_ops.table_lookup(table_lat, self_i, state.target_lane)
+    s_t = lane_ops.row_lookup(table_s, state.target_lane)
+    lat_t = lane_ops.row_lookup(table_lat, state.target_lane)
     future_heading = lane_ops.heading_at(
         geo, state.target_lane, s_t + state.speed * controller.TAU_PURSUIT
     )
@@ -571,7 +554,7 @@ def idm_act(
     # dual-lane IDM while mid-change (behavior.py:121-131)
     mid = state.lane != state.target_lane
     n_t = _query_neighbours(
-        geo, state, state.target_lane, table_s, table_lat, index, connected
+        geo, state, state.target_lane, table_s, table_lat, elig, connected
     )
     accel_t = _accel_pair(
         geo, p, state, table_s, state.delta, self_idx, true_mask,

@@ -56,10 +56,8 @@ def steering_control_from_table(
     table_lat: jnp.ndarray,
 ) -> jnp.ndarray:
     """steering_control with (s, lat) read from the projection table."""
-    V = state.num_slots
-    self_idx = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), state.kind.shape)
-    s = lane_ops.table_lookup(table_s, self_idx, target_lane)
-    lat = lane_ops.table_lookup(table_lat, self_idx, target_lane)
+    s = lane_ops.row_lookup(table_s, target_lane)
+    lat = lane_ops.row_lookup(table_lat, target_lane)
     return steering_from_coords(
         geo, target_lane, s, lat, state.heading, state.speed, state.length
     )
@@ -231,11 +229,7 @@ def follow_road(
 ) -> VehicleState:
     """Advance target_lane at the end of a lane (vehicle/controller.py:135-143)."""
     if table_s is not None:
-        V = state.num_slots
-        self_idx = jnp.broadcast_to(
-            jnp.arange(V, dtype=jnp.int32), state.kind.shape
-        )
-        s = lane_ops.table_lookup(table_s, self_idx, state.target_lane)
+        s = lane_ops.row_lookup(table_s, state.target_lane)
     else:
         s, _ = lane_ops.local_coordinates(geo, state.target_lane, state.pos)
     ended = lane_ops.after_end(geo, state.target_lane, s)
