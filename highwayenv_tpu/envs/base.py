@@ -88,10 +88,22 @@ class BaseEnv:
     #: frames, so enforcement phase depends on it)
     _initial_steps = 0
 
+    #: set False to force the general frame kernel even on straight networks
+    fast_straight = True
+
     def _build(self):
         self._build_scene()  # subclass: sets self.net / self.geo / slots
         self._build_spaces()
         self.idm_params = self._idm_params()
+        # straight parallel-lane networks get a specialized frame kernel
+        # (ops/straight_fast.py): no lane tables, no trig
+        from highwayenv_tpu.ops import straight_fast
+
+        self._straight = (
+            straight_fast.try_compile(self.net) if self.fast_straight else None
+        )
+        if self.regulated:
+            self._straight = None  # regulation needs the general path
         self.dt = 1.0 / self.config["simulation_frequency"]
         self.frames_per_step = int(
             self.config["simulation_frequency"] // self.config["policy_frequency"]
@@ -316,6 +328,24 @@ class BaseEnv:
         return veh, (new_s, new_lat)
 
     def _simulate(self, state: EnvState, slot_actions) -> EnvState:
+        if self._straight is not None:
+            from highwayenv_tpu.ops.straight_fast import straight_frame
+
+            def sbody(veh, i):
+                return (
+                    straight_frame(
+                        self, self._straight, veh, slot_actions, i == 0
+                    ),
+                    None,
+                )
+
+            veh, _ = jax.lax.scan(
+                sbody, state.vehicles, jnp.arange(self.frames_per_step)
+            )
+            return state.replace(
+                vehicles=veh, steps=state.steps + self.frames_per_step
+            )
+
         tables0 = lane_ops.projection_table(self.geo, state.vehicles.pos)
         steps0 = state.steps
 
