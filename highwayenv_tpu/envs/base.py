@@ -436,6 +436,10 @@ class BaseEnv:
             time=state.time + 1.0 / self.config["policy_frequency"]
         )
         state = self._simulate(state, slot_actions)
+        return self._finish_step(state, action)
+
+    def _finish_step(self, state: EnvState, action):
+        """Observation/reward/termination for an already-simulated state."""
         obs = self._observe(state)
         reward = self._reward(state, action)
         terminated = self._is_terminated(state)
@@ -476,9 +480,9 @@ class BaseEnv:
     def step_autoreset(self, state: EnvState, action):
         """Single-env step that re-initializes on episode end (the Gymnasium
         vector autoreset contract: terminal obs replaced by the reset obs)."""
-        obs, new_state, reward, terminated, truncated, info = self._step(
-            state, action
-        )
+        return self._autoreset(*self._step(state, action))
+
+    def _autoreset(self, obs, new_state, reward, terminated, truncated, info):
         done = terminated | truncated
         k_reset, k_next = jax.random.split(new_state.key)
         reset_obs, reset_state = self._reset(k_reset)
@@ -490,3 +494,56 @@ class BaseEnv:
         state = jax.tree.map(where_done, reset_state, new_state)
         obs = jax.tree.map(where_done, reset_obs, obs)
         return obs, state, reward, terminated, truncated, info
+
+    def step_autoreset_batched(self, states: EnvState, actions):
+        """Batched autoreset step over a leading env axis.
+
+        Semantically ``jax.vmap(self.step_autoreset)`` — and that is the
+        fallback — but on straight fast-path networks the simulation frames
+        run batch-minor: state is transposed to (V, ..., B) so the batch
+        rides the 128-wide TPU lane dimension and the (V, V, B) pair
+        matrices of the IDM/MOBIL kernels waste no vector lanes (batch-major
+        pads V=51 -> 128 on the minor axis instead, ~2.5x).  Observation,
+        reward and autoreset stay vmapped (they are batch-major friendly:
+        per-ego rows, no pair matrices).
+        """
+        if self._straight is None:
+            return jax.vmap(self.step_autoreset)(states, actions)
+        from highwayenv_tpu.ops.straight_fast import straight_frame
+
+        slot_actions = jax.vmap(self._action_to_slots)(actions)
+        states = states.replace(
+            time=states.time + 1.0 / self.config["policy_frequency"]
+        )
+
+        def t(x):
+            return jnp.moveaxis(x, 0, -1)
+
+        def ut(x):
+            return jnp.moveaxis(x, -1, 0)
+
+        veh_t = jax.tree.map(t, states.vehicles)
+        sa_t = jax.tree.map(t, slot_actions)
+        frame = jax.vmap(
+            lambda v, sa, first: straight_frame(
+                self, self._straight, v, sa, first
+            ),
+            in_axes=(-1, -1, None),
+            out_axes=-1,
+        )
+
+        def sbody(veh, i):
+            return frame(veh, sa_t, i == 0), None
+
+        veh_t, _ = jax.lax.scan(
+            sbody, veh_t, jnp.arange(self.frames_per_step)
+        )
+        states = states.replace(
+            vehicles=jax.tree.map(ut, veh_t),
+            steps=states.steps + self.frames_per_step,
+        )
+
+        def rest(state, action):
+            return self._autoreset(*self._finish_step(state, action))
+
+        return jax.vmap(rest)(states, actions)

@@ -48,7 +48,7 @@ def sharded_rollout_fn(env, mesh: Mesh, horizon: int, axis_name: str = "env"):
         def body(carry, k):
             states = carry
             acts = jax.random.randint(k, (B,), 0, n_actions)
-            obs, states, r, term, trunc, _ = jax.vmap(env.step_autoreset)(
+            obs, states, r, term, trunc, _ = env.step_autoreset_batched(
                 states, acts
             )
             # fold the observation into the metrics so the observation
