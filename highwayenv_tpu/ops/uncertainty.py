@@ -343,3 +343,260 @@ def observer_for_slot(env, state, slot: int) -> IntervalObserver:
         float(np.asarray(veh.heading[slot])),
     )
     return obs
+
+
+# --------------------------------------------------------------------------- #
+# Multiple-model route-hypothesis tracking
+# (vehicle/uncertainty/estimation.py:40-140)
+# --------------------------------------------------------------------------- #
+
+_VEHICLE_LENGTH = 5.0
+_KIND_LANDMARK = 7  # vehicle/state.py enum
+
+
+def route_of_slot(env, state, slot: int):
+    """Decode a slot's compiled route arrays back into reference-style
+    (from, to, lane_id | None) tuples (layout: network.py::route_arrays;
+    cursor semantics: the reference pops the route head as lanes finish)."""
+    veh = state.vehicles
+    n = int(np.asarray(veh.route_len[slot]))
+    ptr = int(np.asarray(veh.route_ptr[slot]))
+    out = []
+    for i in range(ptr, n):
+        base = int(np.asarray(veh.route_base[slot, i]))
+        if base < 0:
+            break
+        f, t, _ = env.net.lane_index_from_global(base)
+        rid = int(np.asarray(veh.route_id[slot, i]))
+        out.append((f, t, rid if rid >= 0 else None))
+    return out
+
+
+def routes_at_intersection(net, route):
+    """All routes followable at the next intersection
+    (vehicle/controller.py:200-219).  ``route`` is a list of reference-style
+    (from, to, lane_id) index tuples."""
+    if not route:
+        return []
+    graph: dict[str, list[str]] = {}
+    for (f, t) in net.edges:
+        graph.setdefault(f, [])
+        if t not in graph[f]:
+            graph[f].append(t)
+    index = None
+    for i in range(min(len(route), 3)):
+        dests = graph.get(route[i][1])
+        if dests is None:
+            continue
+        if len(dests) >= 2:
+            index = i
+            break
+    if index is None:
+        return [list(route)]
+    return [
+        list(route[: index + 1])
+        + [(route[index][1], destination, route[index][2])]
+        for destination in graph[route[index][1]]
+    ]
+
+
+def _on_lane(lane, s, lat, margin=1.0):
+    """AbstractLane.on_lane (road/lane.py:96-113) with default margin 1."""
+    half = lane.width / 2 + margin
+    return (
+        abs(lat) <= half
+        and -_VEHICLE_LENGTH <= s < lane.length + _VEHICLE_LENGTH
+    )
+
+
+def neighbour_slots(env, state, slot: int, lane_index):
+    """Front/rear neighbour slots of ``slot`` projected on ``lane_index``
+    (road/road.py:483-547, single-lane path) on a host state snapshot.
+    Returns (front_slot | None, rear_slot | None)."""
+    veh = state.vehicles
+    pos = np.asarray(veh.pos, float)
+    kind = np.asarray(veh.kind, int)
+    lane = env.net.get_lane(lane_index)
+    s = float(np.asarray(lane.local_coordinates(pos[slot])[0]))
+    s_front = s_rear = None
+    front = rear = None
+    for j in range(pos.shape[0]):
+        if j == slot or kind[j] == 0 or kind[j] == _KIND_LANDMARK:
+            continue
+        s_v, lat_v = (float(x) for x in lane.local_coordinates(pos[j]))
+        if not _on_lane(lane, s_v, lat_v):
+            continue
+        if s <= s_v and (s_front is None or s_v <= s_front):
+            s_front, front = s_v, j
+        if s_v < s and (s_rear is None or s_v > s_rear):
+            s_rear, rear = s_v, j
+    return front, rear
+
+
+def acceleration_features(env, state, slot: int, self_lane_index):
+    """LinearVehicle.acceleration_features (vehicle/behavior.py:445-465)."""
+    veh = state.vehicles
+    speed = float(np.asarray(veh.speed[slot]))
+    target_speed = float(np.asarray(veh.target_speed[slot]))
+    vt = target_speed - speed
+    dv = dp = 0.0
+    front, _ = neighbour_slots(env, state, slot, self_lane_index)
+    if front is not None:
+        lane = env.net.get_lane(self_lane_index)
+        pos = np.asarray(veh.pos, float)
+        d = float(np.asarray(lane.local_coordinates(pos[front])[0])) - float(
+            np.asarray(lane.local_coordinates(pos[slot])[0])
+        )
+        d_safe = DISTANCE_WANTED + max(speed, 0.0) * TIME_WANTED
+        dv = min(float(np.asarray(veh.speed[front])) - speed, 0.0)
+        dp = min(d - d_safe, 0.0)
+    return np.array([vt, dv, dp])
+
+
+def steering_features(env, state, slot: int, lane_index):
+    """LinearVehicle.steering_features (vehicle/behavior.py:483-502)."""
+    from highwayenv_tpu.utils.math import not_zero, wrap_to_pi
+
+    veh = state.vehicles
+    pos = np.asarray(veh.pos[slot], float)
+    speed = float(np.asarray(veh.speed[slot]))
+    heading = float(np.asarray(veh.heading[slot]))
+    lane = env.net.get_lane(lane_index)
+    s, lat = (float(np.asarray(x)) for x in lane.local_coordinates(pos))
+    s_next = s + speed * 0.1  # TAU_PURSUIT = 0.5 * TAU_HEADING
+    future_heading = float(np.asarray(lane.heading_at(s_next)))
+    nz = float(np.asarray(not_zero(np.float32(speed))))
+    return np.array(
+        [
+            float(np.asarray(wrap_to_pi(np.float32(future_heading - heading))))
+            * _VEHICLE_LENGTH
+            / nz,
+            -lat * _VEHICLE_LENGTH / (nz**2),
+        ]
+    )
+
+
+class MultipleModelTracker:
+    """Host-side port of MultipleModelVehicle
+    (vehicle/uncertainty/estimation.py:40-140): maintain a set of route
+    hypotheses for an observed vehicle slot, collect (features, output)
+    regression data under each hypothesis, reject hypotheses whose lateral
+    data is inconsistent with the LinearVehicle steering parameter box, and
+    instantiate a data-driven interval observer assuming one hypothesis.
+
+    The reference embeds this in the vehicle object graph; here it is an
+    analysis-side tracker over device state snapshots — the simulation loop
+    stays pure/jitted, the tracker runs between steps on the host.
+    """
+
+    def __init__(self, env, slot: int, route=None):
+        self.env = env
+        self.slot = slot
+        self.route = [tuple(r) for r in (route or [])]
+        self.data: list[tuple[list, dict]] = []  # (route, data) hypotheses
+        self.collecting_data = True
+
+    # -- reference act() hook (estimation.py:68-72) ---------------------- #
+    def act(self, state) -> None:
+        if self.collecting_data:
+            self.update_possible_routes(state)
+            self.collect_data(state)
+
+    def collect_data(self, state) -> None:
+        """estimation.py:74-77: features under each route hypothesis, true
+        outputs from the actually-followed target lane."""
+        output_lane = self.env.net.lane_index_from_global(
+            int(np.asarray(state.vehicles.target_lane[self.slot]))
+        )
+        for route, data in self.data:
+            self.add_features(state, data, route[0], output_lane=output_lane)
+
+    def add_features(self, state, data, lane_index, output_lane=None):
+        """LinearVehicle.add_features (vehicle/behavior.py:542-559)."""
+        self_lane = self.env.net.lane_index_from_global(
+            int(np.asarray(state.vehicles.lane[self.slot]))
+        )
+        features = acceleration_features(self.env, state, self.slot, self_lane)
+        output = float(np.dot(ACCELERATION_PARAMETERS, features))
+        data.setdefault("longitudinal", {"features": [], "outputs": []})
+        data["longitudinal"]["features"].append(features)
+        data["longitudinal"]["outputs"].append(output)
+
+        if output_lane is None:
+            output_lane = lane_index
+        features = steering_features(self.env, state, self.slot, lane_index)
+        out_features = steering_features(
+            self.env, state, self.slot, output_lane
+        )
+        output = float(np.dot(STEERING_PARAMETERS, out_features))
+        data.setdefault("lateral", {"features": [], "outputs": []})
+        data["lateral"]["features"].append(features)
+        data["lateral"]["outputs"].append(output)
+
+    def update_possible_routes(self, state) -> None:
+        """estimation.py:79-117: add candidate routes at the next
+        intersection, advance each hypothesis past finished lanes, reject
+        laterally-inconsistent hypotheses."""
+        from highwayenv_tpu.utils.estimation import is_consistent_dataset
+
+        position = np.asarray(state.vehicles.pos[self.slot], float)
+
+        # mirror the tracked vehicle's own route advancement: the reference
+        # pops route[0] when its lane finishes (road/road.py:96-100 via
+        # follow_road); without this, stale candidates re-enter every update
+        while len(self.route) > 1:
+            lane0 = self.env.net.get_lane(self.route[0])
+            s0 = float(np.asarray(lane0.local_coordinates(position)[0]))
+            if s0 > lane0.length - _VEHICLE_LENGTH / 2:
+                self.route.pop(0)
+            else:
+                break
+
+        for route in routes_at_intersection(self.env.net, self.route):
+            # unknown lane -> first lane (estimation.py:88-93; -1 is the
+            # compiled-array encoding of the reference's None)
+            route = [
+                idx
+                if idx[2] is not None and idx[2] >= 0
+                else (idx[0], idx[1], 0)
+                for idx in route
+            ]
+            for known_route, _ in self.data:
+                if known_route == route:
+                    break
+                if (
+                    len(known_route) < len(route)
+                    and route[: len(known_route)] == known_route
+                ):
+                    self.data = [
+                        (r, d) if r != known_route else (route, d)
+                        for r, d in self.data
+                    ]
+                    break
+            else:
+                self.data.append((list(route), {}))
+
+        for route, _ in self.data:
+            lane = self.env.net.get_lane(route[0])
+            s = float(np.asarray(lane.local_coordinates(position)[0]))
+            if len(route) > 1 and s > lane.length - _VEHICLE_LENGTH / 2:
+                route.pop(0)
+
+        for route, data in list(self.data):
+            if data and not is_consistent_dataset(
+                data["lateral"], parameter_box=STEERING_RANGE
+            ):
+                self.data.remove((route, data))
+
+    def assume_model_is_valid(self, state, index: int):
+        """estimation.py:119-140: an observer configured as if hypothesis
+        ``index`` were the true route.  Returns (observer, route, data);
+        the observer's matrix polytopes come from the hypothesis data via
+        polytope_from_estimation (RegressionVehicle semantics)."""
+        obs = observer_for_slot(self.env, state, self.slot)
+        if not self.data:
+            return obs, list(self.route), {}
+        index = min(index, len(self.data) - 1)
+        route, data = self.data[index]
+        obs.target_lane = self.env.net.global_lane_index(route[0])
+        return obs, list(route), data

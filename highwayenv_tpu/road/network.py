@@ -416,6 +416,15 @@ class RoadNetworkBuilder:
     def node_id(self, name: str) -> int:
         return self._node_ids[name]
 
+    def lane_index_from_global(self, g: int) -> tuple[str, str, int]:
+        """Inverse of global_lane_index: (from, to, id) of global lane g."""
+        base = 0
+        for (f, t), lanes in self._edges.items():
+            if g < base + len(lanes):
+                return (f, t, g - base)
+            base += len(lanes)
+        raise KeyError(g)
+
     def connectivity_matrix(self, depth: int = 3, same_lane: bool = False):
         """Static (L, L) bool matrix: is_connected_road(l1, l2, depth)
         (road/road.py:231-276, route=None path).  Precomputed host-side since
