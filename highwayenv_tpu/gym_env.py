@@ -134,10 +134,17 @@ def register_gymnasium_envs(namespace: str = "highwayenv_tpu") -> None:
         return
     import highwayenv_tpu as ht
 
+    # ids the reference registers with MultiAgentWrapper applied
+    # (highway_env/__init__.py:75-84)
+    _WRAPPED = {"intersection-multi-agent-v1", "intersection-multi-agent-v2"}
     for env_id in ht.registered_ids():
+        extra = {}
+        if env_id in _WRAPPED:
+            extra["additional_wrappers"] = (MultiAgentWrapper.wrapper_spec(),)
         gymnasium.register(
             id=f"{namespace}/{env_id}",
             entry_point="highwayenv_tpu.gym_env:GymEnv",
             kwargs={"env_id": env_id},
+            **extra,
         )
     _GYM_REGISTERED = True

@@ -77,6 +77,25 @@ def test_multiagent_wrapper_contract():
     assert len(obs) == 2 and len(rewards) == 2 and len(terms) == 2
 
 
+def test_multiagent_v1_registered_with_wrapper():
+    """intersection-multi-agent-v1/-v2 auto-apply MultiAgentWrapper
+    (reference highway_env/__init__.py:75-84)."""
+    import gymnasium as gym
+    import highwayenv_tpu as ht
+
+    ht.register_gymnasium_envs()
+    env = gym.make("highwayenv_tpu/intersection-multi-agent-v1")
+    obs, _ = env.reset(seed=0)
+    obs, rewards, terms, trunc, info = env.step(tuple(1 for _ in obs))
+    assert isinstance(rewards, tuple) and len(rewards) == len(obs)
+    assert isinstance(terms, tuple)
+    # v0 stays unwrapped: scalar reward
+    env0 = gym.make("highwayenv_tpu/intersection-multi-agent-v0")
+    o0, _ = env0.reset(seed=0)
+    _, r0, *_ = env0.step(tuple(1 for _ in o0))
+    assert np.ndim(r0) == 0
+
+
 def test_render_rgb_array():
     env = GymEnv("highway-fast-v0", render_mode="rgb_array")
     env.reset(seed=0)
