@@ -76,3 +76,106 @@ def sharded_rollout_fn(env, mesh: Mesh, horizon: int, axis_name: str = "env"):
         out_shardings=(batch_spec, NamedSharding(mesh, P())),
         donate_argnums=(0,),
     )
+
+
+def pooled_rollout_fn(
+    env,
+    mesh: Mesh,
+    horizon: int,
+    pool_size: int = 64,
+    axis_name: str = "env",
+):
+    """Rollout with a reset pool: done envs draw a pre-computed reset state
+    instead of computing one in-step.
+
+    ``step_autoreset`` evaluates a full ``_reset`` every step for every env
+    (XLA computes both select branches), which dominates on scenarios with
+    expensive resets — IntersectionEnv replays a 45-frame RegulatedRoad
+    warm-up at reset (intersection_env.py spawn loop), making in-step resets
+    ~30x the step itself.  The pool amortizes this to ONE fresh reset per
+    step: a bank of ``pool_size`` (obs, state) resets is kept as rollout
+    carry, one rotating entry is regenerated each step, and done envs draw a
+    random entry (re-keyed per env so subsequent episodes diverge).
+
+    Trade-off (documented in PARITY.md): two envs finishing on the same step
+    can draw the same pool entry, so initial scene layouts repeat across the
+    batch within ~pool_size steps; per-env RNG keys still decouple all
+    subsequent randomness.  Use sharded_rollout_fn for exact per-env reset
+    semantics.
+    """
+    n_actions = env.action_type.n
+    batch_spec = NamedSharding(mesh, P(axis_name))
+
+    def init_pool(key):
+        keys = jax.random.split(key, pool_size)
+        return jax.vmap(env._reset)(keys)
+
+    def rollout(states, pool, key):
+        B = states.time.shape[0]
+
+        def body(carry, k):
+            states, pool = carry
+            k_act, k_draw, k_fresh, k_rekey = jax.random.split(k, 4)
+            acts = jax.random.randint(k_act, (B,), 0, n_actions)
+            obs, new_states, r, term, trunc, _ = jax.vmap(env._step)(
+                states, acts
+            )
+            done = term | trunc
+
+            # draw pooled resets for done envs, re-keyed per env
+            idx = jax.random.randint(k_draw, (B,), 0, pool_size)
+            pool_obs, pool_states = pool
+            draw_obs = jax.tree.map(lambda x: x[idx], pool_obs)
+            draw_states = jax.tree.map(lambda x: x[idx], pool_states)
+            draw_states = draw_states.replace(
+                key=jax.random.split(k_rekey, B)
+            )
+
+            def where_done(x, y):
+                d = jnp.reshape(done, done.shape + (1,) * (x.ndim - 1))
+                return jnp.where(d, x, y)
+
+            states = jax.tree.map(where_done, draw_states, new_states)
+            obs = jax.tree.map(where_done, draw_obs, obs)
+
+            # regenerate one rotating pool entry (amortized fresh resets)
+            slot = jax.random.randint(k_fresh, (), 0, pool_size)
+            f_obs, f_state = env._reset(jax.random.fold_in(k_fresh, 1))
+            pool_obs = jax.tree.map(
+                lambda p, f: p.at[slot].set(f), pool_obs, f_obs
+            )
+            pool_states = jax.tree.map(
+                lambda p, f: p.at[slot].set(f), pool_states, f_state
+            )
+
+            obs_sum = sum(jnp.sum(x) for x in jax.tree.leaves(obs))
+            return (states, (pool_obs, pool_states)), (
+                jnp.mean(r),
+                jnp.mean(done.astype(jnp.float32)),
+                obs_sum,
+            )
+
+        (states, pool), (rews, dones, obs_sums) = jax.lax.scan(
+            body, (states, pool), jax.random.split(key, horizon)
+        )
+        return states, pool, {
+            "mean_reward": jnp.mean(rews),
+            "done_rate": jnp.mean(dones),
+            "obs_checksum": jnp.sum(obs_sums),
+        }
+
+    jit_rollout = jax.jit(
+        rollout,
+        in_shardings=(
+            batch_spec,
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+        ),
+        out_shardings=(
+            batch_spec,
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+        ),
+        donate_argnums=(0, 1),
+    )
+    return jit_rollout, jax.jit(init_pool)

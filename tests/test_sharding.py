@@ -1,0 +1,47 @@
+"""Mesh-sharded rollouts: standard autoreset and the pooled-reset variant."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import highwayenv_tpu as ht
+from highwayenv_tpu.parallel.sharding import (
+    make_mesh,
+    pooled_rollout_fn,
+    shard_batch,
+    sharded_rollout_fn,
+)
+
+
+def test_sharded_rollout_runs_on_mesh():
+    env = ht.make("highway-fast-v0", {"vehicles_count": 6})
+    mesh = make_mesh(jax.devices())
+    B = 2 * len(jax.devices())
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, states = jax.jit(jax.vmap(env._reset))(keys)
+    states = shard_batch(states, mesh)
+    rollout = sharded_rollout_fn(env, mesh, horizon=4)
+    states, metrics = rollout(states, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert 0.0 <= float(metrics["done_rate"]) <= 1.0
+    assert float(metrics["obs_checksum"]) != 0.0
+
+
+def test_pooled_rollout_amortizes_resets():
+    env = ht.make("intersection-v0")
+    mesh = make_mesh(jax.devices())
+    B = 2 * len(jax.devices())
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, states = jax.jit(jax.vmap(env._reset))(keys)
+    states = shard_batch(states, mesh)
+    rollout, init_pool = pooled_rollout_fn(env, mesh, horizon=6, pool_size=4)
+    pool = init_pool(jax.random.PRNGKey(7))
+    states, pool, metrics = rollout(states, pool, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert float(metrics["obs_checksum"]) != 0.0
+    # carry is donated: a second call continues cleanly
+    states, pool, metrics = rollout(states, pool, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["mean_reward"]))
+    # pooled reset states look like fresh episodes: time restarts
+    t = np.asarray(states.time)
+    assert t.min() >= 0.0
