@@ -29,7 +29,7 @@ def _to_numpy(x):
 
 
 class GymEnv(gymnasium.Env):
-    metadata = {"render_modes": ["rgb_array"], "render_fps": 15}
+    metadata = {"render_modes": ["rgb_array", "human"], "render_fps": 15}
 
     def __init__(
         self,
@@ -45,6 +45,7 @@ class GymEnv(gymnasium.Env):
         self.render_mode = render_mode
         self._state = None
         self._key = jax.random.PRNGKey(0)
+        self._viewer = None
 
     # -- config surface (abstract.py:127-144) --------------------------- #
     @property
@@ -88,6 +89,10 @@ class GymEnv(gymnasium.Env):
     def step(self, action):
         if self._state is None:
             raise RuntimeError("reset() must be called before step()")
+        if self.config.get("manual_control", False) and self._viewer is not None:
+            # keyboard overrides the agent (action/action_factory pattern,
+            # envs/common/action.py manual branch + graphics EventHandler)
+            action = self._viewer.get_manual_action()
         obs, self._state, reward, terminated, truncated, info = self.env.step(
             self._state, jnp.asarray(action)
         )
@@ -101,12 +106,30 @@ class GymEnv(gymnasium.Env):
             _to_numpy(info),
         )
 
-    def render(self):
-        if self.render_mode == "rgb_array" and self._state is not None:
-            from highwayenv_tpu.render import render_rgb
+    def render_frame(self) -> np.ndarray:
+        from highwayenv_tpu.render import render_rgb
 
-            return render_rgb(self.env, self._state)
+        if self._state is None:
+            raise RuntimeError("reset() must be called before render()")
+        return render_rgb(self.env, self._state)
+
+    def render(self):
+        if self._state is None:
+            return None
+        if self.render_mode == "rgb_array":
+            return self.render_frame()
+        if self.render_mode == "human":
+            from highwayenv_tpu.viewer import EnvViewer
+
+            if self._viewer is None:
+                self._viewer = EnvViewer(self)
+            return self._viewer.display()
         return None
+
+    def close(self):
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
 
     @property
     def state(self):
