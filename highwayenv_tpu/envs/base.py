@@ -39,6 +39,10 @@ class EnvState:
     time: jnp.ndarray  # f32 scalar, simulation time [s]
     steps: jnp.ndarray  # i32 scalar, simulation frames executed
     key: jnp.ndarray  # PRNG key for in-episode randomness
+    # DQN-style frame stack for GrayscaleObservation (None otherwise); the
+    # reference keeps it on the observation object (observation.py:82), but
+    # a pure step must carry it in state
+    obs_stack: jnp.ndarray | None = None
 
 
 class BaseEnv:
@@ -369,9 +373,12 @@ class BaseEnv:
     # public pure API
     # ------------------------------------------------------------------ #
     def _observe(self, state: EnvState):
+        if getattr(self.observation_type, "stateful_stack", False):
+            # grayscale frame stack is maintained in state by _push_frame
+            return state.obs_stack
         if getattr(self.observation_type, "host_side", False):
-            # host-rendered observations (Grayscale) are filled in by the
-            # Gymnasium adapter; the jitted path carries a placeholder
+            # host-rendered observations are filled in by the Gymnasium
+            # adapter; the jitted path carries a placeholder
             return jnp.zeros(self.observation_type.shape, jnp.uint8)
         multi = getattr(self.observation_type, "multi_agent", False)
         kw = {}
@@ -419,6 +426,18 @@ class BaseEnv:
             mobil_gain=jnp.where(is_npc, gain, veh.mobil_gain),
         )
 
+    def _push_frame(self, state: EnvState) -> EnvState:
+        """Roll the grayscale frame stack with the current scene."""
+        ot = self.observation_type
+        if not getattr(ot, "stateful_stack", False):
+            return state
+        stack = (
+            state.obs_stack if state.obs_stack is not None else ot.init_stack()
+        )
+        return state.replace(
+            obs_stack=ot.push(self.geo, state.vehicles, self.ego_slots[0], stack)
+        )
+
     def _reset(self, key):
         kv, ks = jax.random.split(key)
         veh = self._apply_npc_type(self._reset_vehicles(kv))
@@ -428,6 +447,7 @@ class BaseEnv:
             steps=jnp.full((), self._initial_steps, jnp.int32),
             key=ks,
         )
+        state = self._push_frame(state)
         return self._observe(state), state
 
     def _step(self, state: EnvState, action):
@@ -440,6 +460,7 @@ class BaseEnv:
 
     def _finish_step(self, state: EnvState, action):
         """Observation/reward/termination for an already-simulated state."""
+        state = self._push_frame(state)
         obs = self._observe(state)
         reward = self._reward(state, action)
         terminated = self._is_terminated(state)

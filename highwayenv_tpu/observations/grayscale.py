@@ -1,22 +1,45 @@
 """Grayscale frame-stack observation (envs/common/observation.py:50-112).
 
-Renders the scene with the numpy rasterizer (highwayenv_tpu/render.py) at the
-configured observation resolution, converts RGB -> gray with the configured
-weights, and stacks frames DQN-style.
-
-Host-side only: rendering cannot run inside the jitted step, so this
-observation is served through the stateful Gymnasium adapter
-(highwayenv_tpu/gym_env.py), which detects it and maintains the frame stack
-across steps.  The pure functional API raises if asked to observe it.
+Unlike the reference (which grabs the pygame viewer's framebuffer), the frame
+is rasterized INSIDE the jitted step: lane markings via the compiled lane
+projection tables and vehicles as rotated-rectangle membership tests on the
+pixel grid, then RGB->gray with the configured weights.  The DQN-style frame
+stack lives in ``EnvState.obs_stack`` so the observation stays a pure
+function of state.  Visually equivalent, not pixel-identical, to pygame
+output (PARITY.md #12).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
+import jax.numpy as jnp
+
+from highwayenv_tpu.road import lane as lane_ops
+from highwayenv_tpu.vehicle.state import (
+    KIND_EGO,
+    KIND_LANDMARK,
+    KIND_OBSTACLE,
+)
+
+# render.py colors -> gray levels via the DQN weights at __init__
+_COLORS = {
+    "grey": (100, 100, 100),
+    "white": (255, 255, 255),
+    "black": (60, 60, 60),
+    "yellow": (200, 200, 0),
+    "green": (50, 200, 0),
+    "red": (255, 100, 100),
+    "blue": (100, 200, 255),
+    "obstacle": (150, 120, 120),
+}
+STRIPE_SPACING = 4.33
+STRIPE_LENGTH = 3.0
 
 
 class GrayscaleObservation:
-    host_side = True
+    host_side = False
+    stateful_stack = True
 
     def __init__(
         self,
@@ -33,45 +56,116 @@ class GrayscaleObservation:
         self.stack_size = stack_size
         self.shape = (stack_size,) + self.observation_shape
         self.weights = np.asarray(weights, np.float64)
-        self.obs = np.zeros(self.shape, np.uint8)
-        # dedicated viewer config (typically smaller than env render)
-        self.viewer_config = dict(env.config)
-        self.viewer_config.update(
-            {
-                "screen_width": self.observation_shape[0],
-                "screen_height": self.observation_shape[1],
-                "scaling": scaling or env.config["scaling"],
-                "centering_position": centering_position
-                or env.config["centering_position"],
-            }
+        self.scaling = float(scaling or env.config["scaling"])
+        self.centering = list(
+            centering_position or env.config["centering_position"]
         )
+        w = self.weights
+        self.gray = {k: float(np.dot(c, w)) for k, c in _COLORS.items()}
 
     def space(self):
         from gymnasium import spaces
 
         return spaces.Box(shape=self.shape, low=0, high=255, dtype=np.uint8)
 
-    def reset_stack(self):
-        self.obs = np.zeros(self.shape, np.uint8)
+    # ------------------------------------------------------------------ #
+    def init_stack(self) -> jnp.ndarray:
+        return jnp.zeros(self.shape, jnp.uint8)
 
-    def observe_host(self, env, state) -> np.ndarray:
-        """Render + grayscale + roll the stack (observation.py:101-112)."""
-        from highwayenv_tpu.render import render_rgb
+    def push(self, geo, veh, ego, stack: jnp.ndarray) -> jnp.ndarray:
+        """Roll the stack and append the current frame
+        (observation.py:101-105)."""
+        frame = self.frame(geo, veh, ego)
+        return jnp.concatenate([stack[1:], frame[None]], axis=0)
 
-        class _Cfg:  # env proxy with the viewer-sized config
-            config = self.viewer_config
-            geo = env.geo
-            ego_slots = env.ego_slots
+    def frame(self, geo, veh, ego) -> jnp.ndarray:
+        """Rasterize one (W, H) uint8 grayscale frame, jittable."""
+        W, H = self.observation_shape
+        scaling = self.scaling
+        cx = veh.pos[..., ego, 0]
+        cy = veh.pos[..., ego, 1]
+        x0 = cx - self.centering[0] * W / scaling
+        y0 = cy - self.centering[1] * H / scaling
+        wx = x0 + (jnp.arange(W, dtype=jnp.float32) + 0.5) / scaling  # (W,)
+        wy = y0 + (jnp.arange(H, dtype=jnp.float32) + 0.5) / scaling  # (H,)
+        # pixel grid, flattened points (N=H*W, 2), row-major (H, W)
+        gx = jnp.broadcast_to(wx[None, :], (H, W)).reshape(-1)
+        gy = jnp.broadcast_to(wy[:, None], (H, W)).reshape(-1)
+        pts = jnp.stack([gx, gy], axis=-1)
 
-        frame = render_rgb(_Cfg, state)  # (H, W, 3)
-        raw = np.moveaxis(frame, 0, 1)  # W x H x C like the reference
-        gray = np.dot(raw[..., :3], self.weights).clip(0, 255).astype(np.uint8)
-        self.obs = np.roll(self.obs, -1, axis=0)
-        self.obs[-1] = gray
-        return self.obs.copy()
+        # ---- lanes: center band dark, side lines white ------------------ #
+        s_tab, lat_tab = lane_ops.projection_table(geo, pts)  # (L, N)
+        lengths = jnp.asarray(geo.length)[:, None]
+        widths = jnp.asarray(geo.width)[:, None]
+        lt = np.asarray(geo.line_types)  # (L, 2) static
+        on_len = (s_tab >= 0.0) & (s_tab <= lengths)
+        half_px = 0.5 / scaling
 
-    def observe(self, geo, state, ego):
+        dark = jnp.any(on_len & (jnp.abs(lat_tab) <= widths / 2), axis=0)
+
+        stripe_on = jnp.mod(s_tab, STRIPE_SPACING) <= STRIPE_LENGTH
+        white = jnp.zeros_like(dark)
+        for side, sign in ((0, -1.0), (1, 1.0)):
+            side_hit = on_len & (
+                jnp.abs(lat_tab - sign * widths / 2) <= half_px
+            )
+            cont = jnp.asarray(lt[:, side] == 2)[:, None]
+            strp = jnp.asarray(lt[:, side] == 1)[:, None]
+            white = white | jnp.any(
+                side_hit & (cont | (strp & stripe_on)), axis=0
+            )
+
+        g = jnp.where(
+            white,
+            self.gray["white"],
+            jnp.where(dark, self.gray["black"], self.gray["grey"]),
+        )
+
+        # ---- vehicles: rotated-rect membership, lower kind drawn on top -- #
+        dx = pts[..., 0][None, :] - veh.pos[..., :, 0][..., None]  # (V, N)
+        dy = pts[..., 1][None, :] - veh.pos[..., :, 1][..., None]
+        c = jnp.cos(veh.heading)[..., None]
+        s = jnp.sin(veh.heading)[..., None]
+        rx = c * dx + s * dy
+        ry = -s * dx + c * dy
+        inside = (
+            (jnp.abs(rx) <= veh.length[..., None] / 2)
+            & (jnp.abs(ry) <= veh.width[..., None] / 2)
+            & veh.active[..., None]
+        )
+
+        kind = veh.kind
+        slot = jnp.arange(kind.shape[-1])
+        is_ego = slot == ego
+        gv = jnp.where(
+            kind == KIND_LANDMARK,
+            self.gray["blue"],
+            jnp.where(
+                kind == KIND_OBSTACLE,
+                jnp.where(veh.crashed, self.gray["red"], self.gray["obstacle"]),
+                jnp.where(
+                    veh.crashed,
+                    self.gray["red"],
+                    jnp.where(is_ego, self.gray["green"], self.gray["yellow"]),
+                ),
+            ),
+        )  # (V,)
+
+        # render order is kind-descending (render.py:176) so the LOWEST kind
+        # covering a pixel wins
+        key = jnp.where(inside, kind[..., None], 99)
+        kmin = jnp.min(key, axis=-2)  # (N,)
+        first = jnp.argmax(key == kmin[..., None, :], axis=-2)  # (N,)
+        oh = jax.nn.one_hot(first, kind.shape[-1], dtype=g.dtype)
+        g_veh = jnp.einsum("...nv,...v->...n", oh, gv)
+        covered = kmin < 99
+        g = jnp.where(covered, g_veh, g)
+
+        img = jnp.clip(g, 0, 255).astype(jnp.uint8).reshape(H, W)
+        return img.T  # (W, H) like the reference's moveaxis
+
+    def observe(self, geo, veh, ego):
         raise TypeError(
-            "GrayscaleObservation renders host-side; use the Gymnasium "
-            "adapter (highwayenv_tpu.make_gym) for pixel observations"
+            "GrayscaleObservation is stacked through EnvState.obs_stack; "
+            "BaseEnv handles it in _observe"
         )

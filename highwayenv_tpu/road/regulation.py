@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from highwayenv_tpu.road import lane as lane_ops
 from highwayenv_tpu.road.lane import LaneGeometry
-from highwayenv_tpu.utils.math import rotated_rectangles_intersect
 from highwayenv_tpu.vehicle.state import KIND_IDM, KIND_LINEAR, VehicleState
 
 REGULATION_FREQUENCY = 2
@@ -112,36 +111,72 @@ def enforce_road_rules(
     )
     is_yielding = state.is_yielding & ~expired
 
-    # 2. pairwise conflict prediction.  The hit test scans over the T
-    # prediction times so temporaries stay (V, V, 9) rather than
-    # (V, V, T, 9) — at batch 1024 the fused version materializes
-    # multi-GB intermediates and becomes HBM-bound.
+    # 2. pairwise conflict prediction, vectorized over the T prediction
+    # times with the 9 probe points unrolled in Python.  Temporaries stay
+    # (V, V, T) — T minor for lane tiling — instead of either (V, V, T, 9)
+    # pair-probe tensors (multi-GB at batch 1024) or a T-step lax.scan of
+    # tiny (V, V) ops (op-dispatch bound at V=25: the scan version made
+    # regulation 74% of the intersection step).
     times = np.arange(CONFLICT_STEP, CONFLICT_HORIZON, CONFLICT_STEP)
     pos, heading = predict_route_positions(geo, state, times)  # (V,T,2)
 
-    l1 = state.length[..., :, None]
-    w1 = state.width[..., :, None]
-    l2 = state.length[..., None, :]
-    w2 = state.width[..., None, :]
+    px = pos[..., 0]  # (V, T)
+    py = pos[..., 1]
+    cos_h = jnp.cos(heading)
+    sin_h = jnp.sin(heading)
 
-    def hit_at(carry, pt):
-        p_t, h_t = pt  # (V,2), (V,)
-        p1 = p_t[..., :, None, :]
-        p2 = p_t[..., None, :, :]
-        close = jnp.linalg.norm(p2 - p1, axis=-1) <= l1
-        hit_t = close & rotated_rectangles_intersect(
-            p1, 1.5 * l1, 0.9 * w1, h_t[..., :, None],
-            p2, 1.5 * l2, 0.9 * w2, h_t[..., None, :],
-        )
-        return carry | hit_t, None
+    def pij(x):
+        return x[..., :, None, :], x[..., None, :, :]
 
-    pos_t = jnp.moveaxis(pos, -2, 0)  # (T, ..., V, 2)
-    heading_t = jnp.moveaxis(heading, -1, 0)  # (T, ..., V)
-    any_hit, _ = jax.lax.scan(
-        hit_at,
-        jnp.zeros(state.kind.shape + (V,), bool),
-        (pos_t, heading_t),
+    px_i, px_j = pij(px)
+    py_i, py_j = pij(py)
+    c_i, c_j = pij(cos_h)
+    s_i, s_j = pij(sin_h)
+    l_i = state.length[..., :, None, None]
+    w_i = state.width[..., :, None, None]
+    l_j = state.length[..., None, :, None]
+    w_j = state.width[..., None, :, None]
+
+    dx = px_j - px_i
+    dy = py_j - py_i
+    close = dx * dx + dy * dy <= l_i * l_i  # (V,V,T)
+
+    # probe offsets of rect_corners(include_midpoints, include_center)
+    # (utils.py:129-157), as (length, width) fractions
+    probes = (
+        (-0.5, -0.5), (-0.5, 0.5), (0.5, 0.5), (0.5, -0.5), (0.0, 0.0),
+        (-0.5, 0.0), (0.5, 0.0), (0.0, -0.5), (0.0, 0.5),
     )
+
+    def one_way(ax, ay, la, wa, ca, sa, bx, by, lb, wb, cb, sb):
+        """Any probe point of rect a inside rect b (utils.py:115-174
+        semantics: containment test rotated by +angle)."""
+        out = None
+        for fx, fy in probes:
+            lx = fx * la
+            ly = fy * wa
+            ppx = ax + ca * lx - sa * ly
+            ppy = ay + sa * lx + ca * ly
+            dxp = ppx - bx
+            dyp = ppy - by
+            rx = cb * dxp - sb * dyp
+            ry = sb * dxp + cb * dyp
+            ins = (
+                (-lb / 2 <= rx) & (rx <= lb / 2)
+                & (-wb / 2 <= ry) & (ry <= wb / 2)
+            )
+            out = ins if out is None else out | ins
+        return out
+
+    la_i, wa_i = 1.5 * l_i, 0.9 * w_i
+    la_j, wa_j = 1.5 * l_j, 0.9 * w_j
+    hit = close & (
+        one_way(px_i, py_i, la_i, wa_i, c_i, s_i,
+                px_j, py_j, la_j, wa_j, c_j, s_j)
+        | one_way(px_j, py_j, la_j, wa_j, c_j, s_j,
+                  px_i, py_i, la_i, wa_i, c_i, s_i)
+    )
+    any_hit = jnp.any(hit, axis=-1)  # (V,V)
 
     i_idx = jnp.arange(V)
     upper = i_idx[:, None] < i_idx[None, :]
