@@ -473,6 +473,62 @@ class BaseEnv:
         info = self._info(state, action)
         return obs, state, reward, terminated, truncated, info
 
+    def close_objects_to(
+        self,
+        state: EnvState,
+        slot: int,
+        distance: float,
+        count: int | None = None,
+        see_behind: bool = True,
+        sort: bool = True,
+        vehicles_only: bool = False,
+    ):
+        """Perception query (road/road.py:421-450): slots within ``distance``
+        of ``slot``, ordered by |lane distance| projected on its lane.
+
+        Jittable; returns (indices (count,), valid (count,)) with static
+        ``count`` (default: all other slots).  With ``sort=False`` results
+        keep slot order (the reference keeps vehicles-then-obstacles list
+        order, which the slot layout already guarantees).
+        """
+        veh = state.vehicles
+        V = veh.num_slots
+        s_all, _ = lane_ops.local_coordinates(
+            self.geo, veh.lane[..., slot][..., None], veh.pos
+        )
+        lane_dist = s_all - s_all[..., slot][..., None]
+        dist = jnp.linalg.norm(
+            veh.pos - veh.pos[..., slot, :][..., None, :], axis=-1
+        )
+        idx = jnp.arange(V)
+        not_self = idx != slot
+        behind_ok = lane_dist > -2 * 5.0  # -2 * LENGTH (road.py:435,441)
+        veh_ok = (
+            veh.is_vehicle
+            & not_self
+            & (dist < distance)
+            & (see_behind | behind_ok)
+        )
+        obj_ok = (
+            veh.active
+            & ~veh.is_vehicle
+            & not_self
+            & (dist < distance)
+            & behind_ok
+            & (not vehicles_only)
+        )
+        ok = veh_ok | obj_ok
+        key = jnp.where(
+            ok,
+            jnp.abs(lane_dist) if sort else idx.astype(jnp.float32),
+            jnp.inf,
+        )
+        order = jnp.argsort(key, axis=-1, stable=True)
+        n = count if count is not None else V - 1
+        sel = order[..., :n]
+        sel_ok = jnp.take_along_axis(ok, sel, axis=-1)
+        return sel, sel_ok
+
     # ------------------------------------------------------------------ #
     # planner export (abstract.py:452-453)
     # ------------------------------------------------------------------ #

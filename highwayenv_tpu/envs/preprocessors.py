@@ -126,3 +126,48 @@ def randomize_behavior(env, state: EnvState, key) -> EnvState:
             ),
         )
     )
+
+
+def set_route_at_intersection(env, state: EnvState, slot: int, _to) -> EnvState:
+    """Pick the road followed at the next intersection and rewrite the slot's
+    compiled route arrays (vehicle/controller.py:221-234).
+
+    Host-side helper (routes are host-compiled structures); ``_to`` is an
+    int index or "random".
+    """
+    import numpy as np
+
+    from highwayenv_tpu.ops.uncertainty import (
+        route_of_slot,
+        routes_at_intersection,
+    )
+
+    route = route_of_slot(env, state, slot)
+    routes = routes_at_intersection(env.net, route)
+    if not routes:
+        return state
+    if _to == "random":
+        _to = int(np.random.default_rng().integers(len(routes)))
+    chosen = routes[_to % len(routes)]
+
+    veh = state.vehicles
+    R = veh.route_base.shape[-1]
+    base = np.full(R, -1, np.int32)
+    n = np.zeros(R, np.int32)
+    rid = np.full(R, -1, np.int32)
+    for i, (f, t, lid) in enumerate(chosen[:R]):
+        lanes = env.net.lanes_on_edge(f, t)
+        base[i] = env.net.global_lane_index((f, t, 0))
+        n[i] = len(lanes)
+        rid[i] = -1 if lid is None else int(lid)
+    return state.replace(
+        vehicles=veh.replace(
+            route_base=veh.route_base.at[..., slot, :].set(jnp.asarray(base)),
+            route_n=veh.route_n.at[..., slot, :].set(jnp.asarray(n)),
+            route_id=veh.route_id.at[..., slot, :].set(jnp.asarray(rid)),
+            route_ptr=veh.route_ptr.at[..., slot].set(0),
+            route_len=veh.route_len.at[..., slot].set(
+                min(len(chosen), R)
+            ),
+        )
+    )
