@@ -101,19 +101,30 @@ def _fill_rect(img, cam, center, length, width, heading, color):
     img[gy[inside], gx[inside]] = color
 
 
-def _lane_points(env, lane_idx, lat, n=None):
-    geo = env.geo
-    length = float(np.asarray(geo.length[lane_idx]))
-    n = n or max(2, int(length))
-    s = np.linspace(0.0, length, n)
-    from highwayenv_tpu.road import lane as lane_ops
-    import jax.numpy as jnp
-
-    pts = lane_ops.position(
-        geo, jnp.full((n,), lane_idx, jnp.int32), jnp.asarray(s, jnp.float32),
-        jnp.full((n,), lat, jnp.float32),
+def _lane_points(lane, lat, s0, s1, n=None):
+    """Sample points on the VISIBLE arc range [s0, s1] using the host
+    (pure-numpy) lane object — the compiled jnp lane kernels dispatch
+    eagerly here and made rendering ~100x slower than needed."""
+    if s1 <= s0:
+        return np.zeros((0, 2))
+    n = n or max(2, int(s1 - s0) + 1)
+    s = np.linspace(s0, s1, n)
+    try:
+        pts = np.asarray(lane.position(s[:, None], float(lat)), float)
+        if pts.shape == (n, 2):
+            return pts
+    except Exception:
+        pass
+    return np.stack(
+        [np.asarray(lane.position(float(si), float(lat)), float) for si in s]
     )
-    return np.asarray(pts)
+
+
+def _visible_s_window(lane, cam_center, cam):
+    """Arc-length window of a lane visible from the camera (with margin)."""
+    s_c, _ = (float(x) for x in lane.local_coordinates(np.asarray(cam_center)))
+    half = (cam.w + cam.h) / cam.scaling  # generous half-diagonal in meters
+    return max(0.0, s_c - half), min(float(lane.length), s_c + half)
 
 
 def render_rgb(env, state) -> np.ndarray:
@@ -132,38 +143,34 @@ def render_rgb(env, state) -> np.ndarray:
     img = np.empty((cam.h, cam.w, 3), np.uint8)
     img[:] = GREY
 
-    # lanes: surface band + side lines (road/graphics.py:113-240)
+    # lanes: surface band + side lines (road/graphics.py:113-240), sampled
+    # from the host lane objects over the visible window only
     geo = env.geo
-    L = geo.num_lanes
     line_types = np.asarray(geo.line_types)
-    widths = np.asarray(geo.width)
-    for li in range(L):
-        half = widths[li] / 2
+    lanes = [lane for ls in env.net.edges.values() for lane in ls]
+    cam_center = pos[ego]
+    for li, lane in enumerate(lanes):
+        half = lane.width / 2
+        s0, s1 = _visible_s_window(lane, cam_center, cam)
+        if s1 <= s0:
+            continue
         # darker road band
-        band = _lane_points(env, li, 0.0)
+        band = _lane_points(lane, 0.0, s0, s1)
         _draw_polyline(img, cam, band, BLACK)
         for side, lat in ((0, -half), (1, half)):
             lt = int(line_types[li, side])
             if lt == 0:
                 continue
-            pts = _lane_points(env, li, lat)
             if lt == 1:  # striped: 3 m dashes at 4.33 m spacing
-                length = float(np.asarray(geo.length[li]))
-                s = 0.0
-                segs = []
-                while s < length:
-                    e = min(s + STRIPE_LENGTH, length)
-                    n = max(2, int(e - s) + 1)
-                    frac = np.linspace(s / max(length, 1e-6),
-                                       e / max(length, 1e-6), n)
-                    idx = np.clip(
-                        (frac * (len(pts) - 1)).astype(int), 0, len(pts) - 1
-                    )
-                    segs.append(pts[idx])
+                s = np.floor(s0 / STRIPE_SPACING) * STRIPE_SPACING
+                while s < s1:
+                    e = min(s + STRIPE_LENGTH, s1)
+                    if e > max(s, s0):
+                        seg = _lane_points(lane, lat, max(s, s0), e)
+                        _draw_polyline(img, cam, seg, WHITE)
                     s += STRIPE_SPACING
-                for seg in segs:
-                    _draw_polyline(img, cam, seg, WHITE)
             else:  # continuous
+                pts = _lane_points(lane, lat, s0, s1)
                 _draw_polyline(img, cam, pts, WHITE)
 
     # objects + vehicles (vehicle/graphics.py:20-100)
