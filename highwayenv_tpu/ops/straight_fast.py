@@ -225,7 +225,23 @@ def straight_frame(
         s_self = s
         return _neigh(s, same_lane_mask(query_off), s_self, eye)
 
-    op, op_ex, of, of_ex = neigh(lane_off)
+    # stacked front/rear queries for [current lane, lane-1, lane+1]: one
+    # (3, V, V) masked pass + one reduction set instead of three — the
+    # per-op dispatch/HBM overhead of many small (V, V) ops dominates at
+    # these sizes
+    cand_m = jnp.clip(veh.lane - 1, 0, L - 1)
+    cand_p = jnp.clip(veh.lane + 1, 0, L - 1)
+    q_off = jnp.stack(
+        [lane_off, _sel(off, cand_m), _sel(off, cand_p)], axis=-2
+    )  # (..., 3, V)
+    m3 = (
+        jnp.abs(lat0[..., None, None, :] - q_off[..., :, :, None])
+        <= fs.width / 2 + 1.0
+    ) & occupiable[..., None, None, :]  # (..., 3, V, V)
+    f3_i, f3_ex, r3_i, r3_ex = _neigh(s, m3, s, eye)  # each (..., 3, V)
+
+    op, op_ex = f3_i[..., 0, :], f3_ex[..., 0, :]
+    of, of_ex = r3_i[..., 0, :], r3_ex[..., 0, :]
 
     # stacked field matrix for row fetches
     fields = jnp.stack(
@@ -271,7 +287,19 @@ def straight_frame(
         return jnp.where(ego_ex & eg_row["is_vehicle"], a, 0.0)
 
     T = jnp.ones_like(veh.crashed)
-    row_op = fetch(op)
+    # one stacked one-hot contraction fetches every queried row at once:
+    # [front(lane), rear(lane), front(-1), rear(-1), front(+1), rear(+1)]
+    idx_all = jnp.stack(
+        [op, of, f3_i[..., 1, :], r3_i[..., 1, :],
+         f3_i[..., 2, :], r3_i[..., 2, :]],
+        axis=-2,
+    )  # (..., 6, V)
+    rows_all = fetch(idx_all)  # dict of (..., 6, V)
+
+    def _row(k):
+        return {key: v[..., k, :] for key, v in rows_all.items()}
+
+    row_op = _row(0)
     a_self = accel_pair(self_row, T, row_op, op_ex)
 
     # MOBIL per candidate lane
@@ -283,20 +311,21 @@ def straight_frame(
     moving = jnp.abs(veh.speed) >= 1.0
 
     # route override: straight networks have no routes -> incentive only
-    row_of = fetch(of)
+    row_of = _row(1)
     a_of = accel_pair(row_of, of_ex, self_row, T)
     a_of_pred = accel_pair(row_of, of_ex, row_op, op_ex)
 
     target = veh.target_lane
     ok_d = {}
     a_self_pred_d = {}
-    for d in (-1, 1):
+    for d, qi in ((-1, 1), (1, 2)):
         cand = jnp.clip(lane_idx + d, 0, L - 1)
         exists = (lane_idx + d >= 0) & (lane_idx + d < L)
-        cand_off = _sel(off, cand)
-        np_i, np_ex, nf_i, nf_ex = neigh(cand_off)
-        row_np = fetch(np_i)
-        row_nf = fetch(nf_i)
+        cand_off = q_off[..., qi, :]
+        np_ex = f3_ex[..., qi, :]
+        nf_ex = r3_ex[..., qi, :]
+        row_np = _row(2 * qi)
+        row_nf = _row(2 * qi + 1)
         a_nf = accel_pair(row_nf, nf_ex, row_np, np_ex)
         a_nf_pred = accel_pair(row_nf, nf_ex, self_row, T)
         a_self_pred = accel_pair(self_row, T, row_np, np_ex)
