@@ -32,6 +32,16 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def _action_sampler(env, B):
+    """Random-policy action batch: Discrete -> randint, Continuous -> U(-1,1)
+    (DiscreteAction subclasses ContinuousAction but exposes ``n``)."""
+    at = env.action_type
+    if hasattr(at, "n"):
+        return lambda k: jax.random.randint(k, (B,), 0, at.n)
+    size = at.size
+    return lambda k: jax.random.uniform(k, (B, size), minval=-1.0, maxval=1.0)
+
+
 def sharded_rollout_fn(env, mesh: Mesh, horizon: int, axis_name: str = "env"):
     """Build a jitted sharded rollout: ``(states, key) -> (states, metrics)``.
 
@@ -39,15 +49,15 @@ def sharded_rollout_fn(env, mesh: Mesh, horizon: int, axis_name: str = "env"):
     (donated) plus mean reward / done-rate reduced across the whole mesh —
     the collective pattern a learner would use.
     """
-    n_actions = env.action_type.n
     batch_spec = NamedSharding(mesh, P(axis_name))
 
     def rollout(states, key):
         B = states.time.shape[0]
+        sample = _action_sampler(env, B)
 
         def body(carry, k):
             states = carry
-            acts = jax.random.randint(k, (B,), 0, n_actions)
+            acts = sample(k)
             obs, states, r, term, trunc, _ = env.step_autoreset_batched(
                 states, acts
             )
@@ -103,7 +113,6 @@ def pooled_rollout_fn(
     subsequent randomness.  Use sharded_rollout_fn for exact per-env reset
     semantics.
     """
-    n_actions = env.action_type.n
     batch_spec = NamedSharding(mesh, P(axis_name))
 
     def init_pool(key):
@@ -116,7 +125,7 @@ def pooled_rollout_fn(
         def body(carry, k):
             states, pool = carry
             k_act, k_draw, k_fresh, k_rekey = jax.random.split(k, 4)
-            acts = jax.random.randint(k_act, (B,), 0, n_actions)
+            acts = _action_sampler(env, B)(k_act)
             obs, new_states, r, term, trunc, _ = jax.vmap(env._step)(
                 states, acts
             )

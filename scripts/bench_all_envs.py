@@ -1,0 +1,48 @@
+"""Per-scenario throughput table on TPU (honest host-materialized timing)."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import highwayenv_tpu as ht
+from highwayenv_tpu.parallel.sharding import (
+    make_mesh,
+    shard_batch,
+    sharded_rollout_fn,
+)
+
+ENV_IDS = sys.argv[1:] or [
+    "highway-v0", "highway-fast-v0", "merge-v0", "roundabout-v0",
+    "two-way-v0", "u-turn-v0", "exit-v0", "parking-v0", "racetrack-v0",
+    "intersection-v0", "lane-keeping-v0",
+]
+B = 1024
+HORIZON = 16
+
+mesh = make_mesh(jax.devices())
+for env_id in ENV_IDS:
+    try:
+        env = ht.make(env_id)
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        _, states = jax.jit(jax.vmap(env._reset))(keys)
+        states = shard_batch(states, mesh)
+        rollout = sharded_rollout_fn(env, mesh, horizon=HORIZON)
+        t0 = time.time()
+        states, m = rollout(states, jax.random.PRNGKey(1))
+        _ = float(m["mean_reward"]) + float(m["obs_checksum"])
+        compile_s = time.time() - t0
+        t0 = time.time()
+        n = 2
+        for i in range(n):
+            states, m = rollout(states, jax.random.PRNGKey(2 + i))
+            _ = float(m["mean_reward"]) + float(m["obs_checksum"])
+        dt = time.time() - t0
+        print(
+            f"{env_id:22s} {B*HORIZON*n/dt:>10,.0f} env-steps/s   "
+            f"(compile {compile_s:.0f}s, done_rate {float(m['done_rate']):.3f})",
+            flush=True,
+        )
+    except Exception as e:  # keep the table going
+        print(f"{env_id:22s} FAILED: {type(e).__name__}: {e}", flush=True)

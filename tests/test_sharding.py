@@ -45,3 +45,16 @@ def test_pooled_rollout_amortizes_resets():
     # pooled reset states look like fresh episodes: time restarts
     t = np.asarray(states.time)
     assert t.min() >= 0.0
+
+
+def test_sharded_rollout_continuous_actions():
+    env = ht.make("parking-v0")
+    mesh = make_mesh(jax.devices())
+    B = 2 * len(jax.devices())
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, states = jax.jit(jax.vmap(env._reset))(keys)
+    states = shard_batch(states, mesh)
+    rollout = sharded_rollout_fn(env, mesh, horizon=3)
+    states, metrics = rollout(states, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert float(metrics["obs_checksum"]) != 0.0
