@@ -583,11 +583,16 @@ class BaseEnv:
         pads V=51 -> 128 on the minor axis instead, ~2.5x).  Observation,
         reward and autoreset stay vmapped (they are batch-major friendly:
         per-ego rows, no pair matrices).
-        """
-        if self._straight is None:
-            return jax.vmap(self.step_autoreset)(states, actions)
-        from highwayenv_tpu.ops.straight_fast import straight_frame
 
+        Envs that override ``_step`` (intersection's post-step spawning,
+        lane-keeping's LPV tracking) fall back to the vmapped path — the
+        batched pipeline reimplements only the base step.  General-path
+        (non-straight) envs also fall back: measured on TPU, batch-minor
+        was neutral-to-negative there (the lane-table projections, not the
+        pair matrices, dominate; see BASELINE.md).
+        """
+        if type(self)._step is not BaseEnv._step or self._straight is None:
+            return jax.vmap(self.step_autoreset)(states, actions)
         slot_actions = jax.vmap(self._action_to_slots)(actions)
         states = states.replace(
             time=states.time + 1.0 / self.config["policy_frequency"]
@@ -601,6 +606,9 @@ class BaseEnv:
 
         veh_t = jax.tree.map(t, states.vehicles)
         sa_t = jax.tree.map(t, slot_actions)
+
+        from highwayenv_tpu.ops.straight_fast import straight_frame
+
         frame = jax.vmap(
             lambda v, sa, first: straight_frame(
                 self, self._straight, v, sa, first
@@ -615,6 +623,7 @@ class BaseEnv:
         veh_t, _ = jax.lax.scan(
             sbody, veh_t, jnp.arange(self.frames_per_step)
         )
+
         states = states.replace(
             vehicles=jax.tree.map(ut, veh_t),
             steps=states.steps + self.frames_per_step,
