@@ -81,10 +81,19 @@ def predict_route_positions(
     )  # (V, T)
     k = jnp.minimum(k, last[..., None])
 
-    lane_k = jnp.take_along_axis(seg_lane, k, axis=-1)  # (V, T)
+    # R is tiny (route_slots); one-hot selects instead of take_along_axis —
+    # gathers break XLA fusion inside the frame scan
+    oh_k = (k[..., None, :] == seg[..., :, None]).astype(
+        jnp.float32
+    )  # (V, R, T)
+    lane_k = jnp.sum(
+        seg_lane[..., :, None].astype(jnp.float32) * oh_k, axis=-2
+    ).astype(jnp.int32)  # (V, T)
+    km1 = jnp.maximum(k - 1, 0)
+    oh_km1 = (km1[..., None, :] == seg[..., :, None]).astype(jnp.float32)
     base = jnp.where(
         k > first[..., None],
-        jnp.take_along_axis(cum, jnp.maximum(k - 1, 0), axis=-1),
+        jnp.sum(cum[..., :, None] * oh_km1, axis=-2),
         0.0,
     )
     s_local = target - base
