@@ -484,6 +484,18 @@ def lane_onehot(lane_idx: jnp.ndarray, L: int, dtype=jnp.float32):
     ).astype(dtype)
 
 
+def onehot_take(tab: jnp.ndarray, idx: jnp.ndarray):
+    """take_along_axis over a SMALL trailing axis as a one-hot select:
+    tab (..., K), idx (...,) -> (...,).
+
+    Gathers break XLA fusion on TPU; inside the frame scan a single stray
+    take_along_axis measurably serializes the whole step (regulation's
+    route-prediction gathers alone cost ~45% of the intersection step)."""
+    K = tab.shape[-1]
+    oh = idx[..., None] == jnp.arange(K, dtype=idx.dtype)
+    return jnp.sum(jnp.where(oh, tab, 0), axis=-1)
+
+
 def row_lookup(table: jnp.ndarray, lane_idx: jnp.ndarray):
     """Row-aligned lane select: table (...,L,V), lane_idx (...,V) -> (...,V).
 

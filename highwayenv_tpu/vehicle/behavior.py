@@ -376,7 +376,7 @@ def _mobil(
     # route-directed branch (behavior.py:287-298)
     R = state.route_base.shape[-1]
     ptr = jnp.clip(state.route_ptr, 0, R - 1)
-    head_id = jnp.take_along_axis(state.route_id, ptr[..., None], axis=-1)[..., 0]
+    head_id = lane_ops.onehot_take(state.route_id, ptr)
     has_route_id = (state.route_ptr < state.route_len) & (head_id >= 0)
 
     tgt_id = geo.lane_id[lane_ops._gather(geo, state.target_lane)]

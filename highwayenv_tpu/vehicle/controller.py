@@ -139,11 +139,9 @@ def _next_lane_given_next_edge(
     )
     chosen_id = jnp.clip(chosen_id, 0, jnp.maximum(cand_n - 1, 0))
     chosen_lane = cand_base + chosen_id
-    dist = jnp.take_along_axis(
-        jnp.where(ids < cand_n[..., None], d, jnp.inf),
-        chosen_id[..., None],
-        axis=-1,
-    )[..., 0]
+    dist = lane_ops.onehot_take(
+        jnp.where(ids < cand_n[..., None], d, jnp.inf), chosen_id
+    )
     return chosen_lane, dist
 
 
@@ -175,9 +173,7 @@ def next_lane(
     has_route = ptr < state.route_len
 
     def route_entry(field, p):
-        return jnp.take_along_axis(field, jnp.clip(p, 0, R - 1)[..., None], axis=-1)[
-            ..., 0
-        ]
+        return lane_ops.onehot_take(field, jnp.clip(p, 0, R - 1))
 
     cur_edge_base = geo.edge_base[li]
     head_base = route_entry(state.route_base, ptr)
@@ -212,7 +208,7 @@ def next_lane(
     )
     cand_dist = jnp.where(succ_base >= 0, cand_dist, jnp.inf)
     best = jnp.argmin(cand_dist, axis=-1)
-    best_lane = jnp.take_along_axis(cand_lane, best[..., None], axis=-1)[..., 0]
+    best_lane = lane_ops.onehot_take(cand_lane, best.astype(jnp.int32))
     any_succ = jnp.any(succ_base >= 0, axis=-1)
 
     chosen = jnp.where(
