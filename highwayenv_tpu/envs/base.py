@@ -223,7 +223,7 @@ class BaseEnv:
         tables,
         slot_actions: jnp.ndarray,
         first: jnp.ndarray,
-        step_count: jnp.ndarray | None = None,
+        enforce: jnp.ndarray | bool | None = None,
     ):
         """One simulation frame = road.act() + road.step(dt)
         (envs/common/abstract.py:287-317, road/road.py:464-481).
@@ -280,26 +280,32 @@ class BaseEnv:
                 ),
             )
 
-        # RegulatedRoad: steps += 1, enforce every 1/dt/REGULATION_FREQUENCY
-        # frames, *before* integration (road/regulation.py:36-40)
-        if self.regulated and step_count is not None:
+        # RegulatedRoad: enforcement runs every 1/dt/REGULATION_FREQUENCY
+        # frames, *before* integration (road/regulation.py:36-40).  The tick
+        # schedule is handled by _simulate_regulated_frames so the expensive
+        # conflict pass is only *computed* on (at most) the tick slots, not
+        # on all 15 frames; ``enforce`` is True / a traced bool on tick
+        # slots and None on plain frames.
+        if self.regulated and enforce is not None:
             from highwayenv_tpu.road import regulation
 
-            period = int(
-                self.config["simulation_frequency"]
-                // regulation.REGULATION_FREQUENCY
-            )
-            tick = (step_count + 1) % period == 0
             enforced = regulation.enforce_road_rules(geo, veh)
-            veh = jax.tree.map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(tick, tick.shape + (1,) * (new.ndim - tick.ndim)),
-                    new,
-                    old,
-                ),
-                enforced,
-                veh,
-            )
+            if enforce is True:
+                veh = enforced
+            else:
+                # enforcement writes exactly these three fields
+                # (regulation.py:218-222); select only them
+                def sel(new, old):
+                    e = jnp.reshape(
+                        enforce, enforce.shape + (1,) * (new.ndim - enforce.ndim)
+                    )
+                    return jnp.where(e, new, old)
+
+                veh = veh.replace(
+                    target_speed=sel(enforced.target_speed, veh.target_speed),
+                    yield_timer=sel(enforced.yield_timer, veh.yield_timer),
+                    is_yielding=sel(enforced.is_yielding, veh.is_yielding),
+                )
 
         pre_integration = veh
         veh = kinematics.integrate(veh, self.dt)
@@ -350,13 +356,20 @@ class BaseEnv:
                 vehicles=veh, steps=state.steps + self.frames_per_step
             )
 
+        if self.regulated:
+            veh = self._simulate_regulated_frames(
+                state.vehicles, slot_actions, state.steps, self.frames_per_step
+            )
+            return state.replace(
+                vehicles=veh, steps=state.steps + self.frames_per_step
+            )
+
         tables0 = lane_ops.projection_table(self.geo, state.vehicles.pos)
-        steps0 = state.steps
 
         def body(carry, i):
             veh, tables = carry
             return (
-                self._frame(veh, tables, slot_actions, i == 0, steps0 + i),
+                self._frame(veh, tables, slot_actions, i == 0),
                 None,
             )
 
@@ -368,6 +381,122 @@ class BaseEnv:
         return state.replace(
             vehicles=veh, steps=state.steps + self.frames_per_step
         )
+
+    # ------------------------------------------------------------------ #
+    # RegulatedRoad frame scheduling
+    # ------------------------------------------------------------------ #
+    @property
+    def _regulation_period(self) -> int:
+        """Frames between enforcement ticks: int(1/dt/REGULATION_FREQUENCY)
+        (road/regulation.py:36-40)."""
+        from highwayenv_tpu.road import regulation
+
+        return int(
+            self.config["simulation_frequency"] // regulation.REGULATION_FREQUENCY
+        )
+
+    def _simulate_regulated_frames(self, veh, slot_actions, steps0, frames):
+        """Run ``frames`` regulated frames starting at frame counter
+        ``steps0``, enforcing right-of-way on the reference's every-``period``
+        tick schedule ((steps+1) % period == 0).
+
+        The conflict pass (regulation.py:42-71) is ~2.5x the cost of a plain
+        frame, so instead of computing it every frame and masking (round-1
+        design: 15 evaluations per policy step), the loop is restructured
+        around the tick positions: the first tick of the step falls at frame
+        i0 = period-1 - steps0 % period (traced), subsequent ticks every
+        ``period`` frames.  Frames are executed by a static slot schedule —
+        masked prologue (frames < i0), unconditional tick + mid chunk,
+        masked tails — so enforcement is computed at most
+        ceil(frames/period) times with identical per-frame semantics.
+        """
+        period = self._regulation_period
+        if isinstance(steps0, int):
+            return self._run_frames_static(veh, slot_actions, frames, steps0)
+        F = frames
+        i0 = (period - 1) - (steps0 % period)  # first tick frame, in [0, period)
+        carry = (veh, lane_ops.projection_table(self.geo, veh.pos))
+
+        def tree_sel(active, new, old):
+            def s(n, o):
+                a = jnp.reshape(
+                    active, active.shape + (1,) * (n.ndim - active.ndim)
+                )
+                return jnp.where(a, n, o)
+
+            return jax.tree.map(s, new, old)
+
+        def masked_plain(c, fidx, active):
+            out = self._frame(c[0], c[1], slot_actions, fidx == 0)
+            return tree_sel(active, out, c)
+
+        # prologue: frames 0..i0-1
+        if period > 1:
+
+            def pro(c, j):
+                return masked_plain(c, j, j < i0), None
+
+            carry, _ = jax.lax.scan(pro, carry, jnp.arange(period - 1))
+
+        max_ticks = -(-F // period)
+        for e in range(max_ticks):
+            if e * period >= F:
+                break  # this tick (and everything after) can never fire
+            t_e = i0 + e * period
+            tick_always = (e + 1) * period - 1 < F  # t_e < F for every i0
+            out = self._frame(
+                carry[0], carry[1], slot_actions, t_e == 0, enforce=True
+            )
+            carry = out if tick_always else tree_sel(t_e < F, out, carry)
+
+            if e * period + 1 >= F:
+                continue  # chunk after this tick can never fire
+            chunk_always = (e + 1) * period + period - 2 < F
+
+            def chunk(c, j, t_e=t_e, chunk_always=chunk_always):
+                if chunk_always:
+                    return self._frame(c[0], c[1], slot_actions, False), None
+                return masked_plain(c, t_e + j, t_e + j < F), None
+
+            carry, _ = jax.lax.scan(chunk, carry, jnp.arange(1, period))
+        return carry[0]
+
+    def _run_frames_static(self, veh, slot_actions, frames, steps0=0):
+        """Regulated frame loop with a *static* start phase (used by the
+        intersection warm-up reset, intersection_env.py:270-277): tick
+        positions are compile-time constants, so no masking at all."""
+        period = self._regulation_period
+        carry = (veh, lane_ops.projection_table(self.geo, veh.pos))
+
+        def plain(c, _):
+            return self._frame(c[0], c[1], slot_actions, False), None
+
+        i0 = (period - 1) - (steps0 % period)
+        pro = min(i0, frames)
+        if pro:
+            carry, _ = jax.lax.scan(plain, carry, None, length=pro)
+        rem = frames - pro
+        n_periods, leftover = divmod(rem, period)
+
+        if n_periods:
+
+            def one_period(c, _):
+                out = self._frame(
+                    c[0], c[1], slot_actions, False, enforce=True
+                )
+                out, _ = jax.lax.scan(plain, out, None, length=period - 1)
+                return out, None
+
+            carry, _ = jax.lax.scan(one_period, carry, None, length=n_periods)
+        if leftover:
+            carry = self._frame(
+                carry[0], carry[1], slot_actions, False, enforce=True
+            )
+            if leftover > 1:
+                carry, _ = jax.lax.scan(
+                    plain, carry, None, length=leftover - 1
+                )
+        return carry[0]
 
     # ------------------------------------------------------------------ #
     # public pure API
@@ -449,6 +578,17 @@ class BaseEnv:
         )
         state = self._push_frame(state)
         return self._observe(state), state
+
+    def reset_seeded(self, seed: int | None = None, rng=None):
+        """Host-replayed reset with the reference's NumPy draw schedule
+        (bit-identical seeded scenes; see highwayenv_tpu/seeding.py).
+
+        Pass either a ``seed`` or an existing ``np.random.Generator`` whose
+        state continues across resets (the Gymnasium contract)."""
+        from highwayenv_tpu import seeding
+
+        rng = rng if rng is not None else seeding.np_random(seed)
+        return seeding.seeded_reset(self, rng)
 
     def _step(self, state: EnvState, action):
         slot_actions = self._action_to_slots(action)

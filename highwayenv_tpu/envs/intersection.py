@@ -297,22 +297,22 @@ class IntersectionEnv(BaseEnv):
             )
 
         # 2. three seconds of warm-up traffic simulation
-        # (intersection_env.py:270-277)
+        # (intersection_env.py:270-277).  The frame counter starts at 0 so
+        # the tick phase is static; only the first n_init-1 slots can be
+        # occupied (the challenger and egos spawn afterwards), so the
+        # O(V^2) pair kernels run on a truncated slot array and the result
+        # is scattered back.
         warmup = 3 * cfg["simulation_frequency"]
+        W = min(V, -(-(n_init - 1) // 8) * 8)  # slots 0..n_init-2, 8-padded
         zero_actions = jnp.zeros(
-            (V,) + tuple(getattr(self.action_type, "action_shape", ())),
+            (W,) + tuple(getattr(self.action_type, "action_shape", ())),
             jnp.float32 if getattr(self.action_type, "action_shape", ()) else jnp.int32,
         )
-        tables0 = lane_ops.projection_table(self.geo, veh.pos)
-
-        def body(carry, i):
-            v, tables = carry
-            return (
-                self._frame(v, tables, zero_actions, jnp.bool_(False), i),
-                None,
-            )
-
-        (veh, _), _ = jax.lax.scan(body, (veh, tables0), jnp.arange(warmup))
+        sub = jax.tree.map(lambda x: x[:W], veh)
+        sub = self._run_frames_static(sub, zero_actions, warmup, steps0=0)
+        veh = jax.tree.map(
+            lambda s, f: jnp.concatenate([s, f[W:]], axis=0), sub, veh
+        )
 
         # 3. challenger (straight crossing, spawn_probability 1)
         veh = self._spawn_into_slot(

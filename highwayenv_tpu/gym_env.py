@@ -75,12 +75,20 @@ class GymEnv(gymnasium.Env):
         return getattr(self.env.observation_type, "host_side", False)
 
     def reset(self, *, seed: int | None = None, options: dict | None = None):
+        from highwayenv_tpu import seeding
+
+        super().reset(seed=seed)  # seeds self.np_random (gymnasium chain)
         if options and "config" in options:
             self.configure(options["config"])
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
-        self._key, k = jax.random.split(self._key)
-        obs, self._state = self.env.reset(k)
+        if seeding.supports_seeded_reset(self.env):
+            # host replay of the reference's draw schedule: seeded scenes are
+            # byte-identical to the reference's reset(seed)
+            obs, self._state = self.env.reset_seeded(rng=self.np_random)
+        else:
+            self._key, k = jax.random.split(self._key)
+            obs, self._state = self.env.reset(k)
         if self._host_obs:
             self.env.observation_type.reset_stack()
             obs = self.env.observation_type.observe_host(self.env, self._state)
