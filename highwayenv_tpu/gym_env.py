@@ -92,7 +92,10 @@ class GymEnv(gymnasium.Env):
         if self._host_obs:
             self.env.observation_type.reset_stack()
             obs = self.env.observation_type.observe_host(self.env, self._state)
-        return _to_numpy(obs), {}
+        # reset info contract (abstract.py:245-246): _info with a sampled
+        # action placeholder
+        info = self.env._info(self._state, self.action_space.sample())
+        return _to_numpy(obs), _to_numpy(info)
 
     def step(self, action):
         if self._state is None:

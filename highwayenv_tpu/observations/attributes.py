@@ -27,7 +27,7 @@ class AttributesObservation:
         obs, _ = jax.eval_shape(self.env._reset, jax.random.PRNGKey(0))
         return spaces.Dict(
             {
-                a: spaces.Box(-np.inf, np.inf, shape=obs[a].shape, dtype=np.float64)
+                a: spaces.Box(-np.inf, np.inf, shape=obs[a].shape, dtype=np.float32)
                 for a in self.attributes
             }
         )

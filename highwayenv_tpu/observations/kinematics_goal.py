@@ -29,7 +29,7 @@ class KinematicsGoalObservation:
         from gymnasium import spaces
 
         F = len(self.features)
-        box = lambda: spaces.Box(-np.inf, np.inf, shape=(F,), dtype=np.float64)
+        box = lambda: spaces.Box(-np.inf, np.inf, shape=(F,), dtype=np.float32)
         return spaces.Dict(
             dict(
                 desired_goal=box(), achieved_goal=box(), observation=box()

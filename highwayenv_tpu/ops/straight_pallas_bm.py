@@ -1,0 +1,544 @@
+"""Batch-minor Pallas frame kernel for the straight-network fast path.
+
+One ``pallas_call`` per simulation frame; the env batch is tiled into
+``block``-wide VMEM blocks that ride the 128-lane axis, so every per-slot
+field is a (V, block) vector and every pair tensor is (Vq, Vc, block) —
+the layout mosaic compiles (round 1's batch-major (block, V, V) body hangs
+the compiler; see BASELINE.md lever 2).
+
+Semantics: ops/straight_fast.py::straight_frame minus the ego meta-action
+(applied once per policy step outside the kernel — cheap XLA (V, B) work),
+which itself matches envs/base.py::_frame on straight parallel-lane
+networks.  Mosaic-specific rewrites:
+
+- no inverse trig: cephes atan polynomial (straight_pallas._atan family)
+- no integer broadcast-compares in pair space (hangs mosaic): all pair
+  masks are built from f32 compares; neighbour row *fetches* use the
+  one-hot hit mask (key == rowmin, first-column tie-break via a f32 iota
+  min) contracted against the field vector — no integer indices at all
+- bool reductions via f32 max (no i1 vector truncations)
+
+HBM traffic per frame = 2 state transfers (the round-1 XLA path writes
+one (V, V, B) intermediate per op).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from highwayenv_tpu.ops.straight_fast import StraightGeo
+from highwayenv_tpu.ops.straight_pallas import _asin, _atan, _atan2_pos_x, _tan
+from highwayenv_tpu.utils.math import not_zero, wrap_to_pi
+from highwayenv_tpu.vehicle import controller
+from highwayenv_tpu.vehicle.behavior import IDMParams
+from highwayenv_tpu.vehicle.state import (
+    KIND_EGO,
+    KIND_IDM,
+    KIND_LANDMARK,
+    KIND_LINEAR,
+    KIND_OBSTACLE,
+    KIND_PLAIN,
+    MAX_SPEED,
+    MIN_SPEED,
+    VehicleState,
+)
+
+F32 = jnp.float32
+VEHICLE_LENGTH = 5.0
+
+# kernel-resident fields, all (V, block); f32 throughout (flags as 0/1,
+# lanes as small exact floats) so the kernel never touches int vectors
+BM_FIELDS = [
+    "px", "py", "heading", "speed", "lane", "target_lane", "target_speed",
+    "timer", "delta", "kind", "length", "width", "crashed", "hit",
+    "impact_pending", "impact_x", "impact_y", "check_collisions",
+    "collidable", "enable_lane_change", "mobil_gain", "mobil_max_braking",
+    "accel_p0", "accel_p1", "accel_p2", "steer_p0", "steer_p1",
+    "steering", "accel",
+]
+
+
+def pack_bm(veh: VehicleState) -> list:
+    """VehicleState (B, V) -> list of (V, B) f32 arrays in BM_FIELDS order."""
+    f = {
+        "px": veh.pos[..., 0], "py": veh.pos[..., 1],
+        "heading": veh.heading, "speed": veh.speed,
+        "lane": veh.lane, "target_lane": veh.target_lane,
+        "target_speed": veh.target_speed, "timer": veh.timer,
+        "delta": veh.delta, "kind": veh.kind,
+        "length": veh.length, "width": veh.width,
+        "crashed": veh.crashed, "hit": veh.hit,
+        "impact_pending": veh.impact_pending,
+        "impact_x": veh.impact[..., 0], "impact_y": veh.impact[..., 1],
+        "check_collisions": veh.check_collisions,
+        "collidable": veh.collidable,
+        "enable_lane_change": veh.enable_lane_change,
+        "mobil_gain": veh.mobil_gain,
+        "mobil_max_braking": veh.mobil_max_braking,
+        "accel_p0": veh.accel_params[..., 0],
+        "accel_p1": veh.accel_params[..., 1],
+        "accel_p2": veh.accel_params[..., 2],
+        "steer_p0": veh.steer_params[..., 0],
+        "steer_p1": veh.steer_params[..., 1],
+        "steering": veh.steering, "accel": veh.accel,
+    }
+    return [jnp.asarray(f[n], F32).T for n in BM_FIELDS]
+
+
+def unpack_bm(arrays: list, veh: VehicleState) -> VehicleState:
+    f = {n: a.T for n, a in zip(BM_FIELDS, arrays)}
+    return veh.replace(
+        pos=jnp.stack([f["px"], f["py"]], axis=-1),
+        heading=f["heading"], speed=f["speed"],
+        lane=f["lane"].astype(jnp.int32),
+        target_lane=f["target_lane"].astype(jnp.int32),
+        target_speed=f["target_speed"], timer=f["timer"],
+        crashed=f["crashed"] > 0.5, hit=f["hit"] > 0.5,
+        impact_pending=f["impact_pending"] > 0.5,
+        impact=jnp.stack([f["impact_x"], f["impact_y"]], axis=-1),
+        steering=f["steering"], accel=f["accel"],
+    )
+
+
+def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
+                f: dict) -> dict:
+    """One frame on (V, blk) f32 fields.  Pair tensors are (Vq, Vc, blk)."""
+    V = f["px"].shape[0]
+    L = len(fs.offsets)
+    off = [float(o) for o in fs.offsets]
+    ux, uy = float(fs.u[0]), float(fs.u[1])
+    nx, ny = float(fs.n[0]), float(fs.n[1])
+    ox, oy = float(fs.origin[0]), float(fs.origin[1])
+    blk = f["px"].shape[1]
+
+    kind = f["kind"]  # f32 enum
+    crashed = f["crashed"] > 0.5
+    active = kind > 0.5
+    is_vehicle = (kind > KIND_EGO - 0.5) & (kind < KIND_PLAIN + 0.5)
+    is_controlled = (kind > KIND_EGO - 0.5) & (kind < KIND_LINEAR + 0.5)
+    is_linear = jnp.abs(kind - KIND_LINEAR) < 0.5
+    idm = ((jnp.abs(kind - KIND_IDM) < 0.5) | is_linear) & ~crashed
+
+    s = (f["px"] - ox) * ux + (f["py"] - oy) * uy        # (V, blk)
+    lat0 = (f["px"] - ox) * nx + (f["py"] - oy) * ny
+
+    # f32 row/col ids for eye masks and tie-breaks (mosaic: int iota only,
+    # convert immediately)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (V, V, blk), 0).astype(F32)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (V, V, blk), 1).astype(F32)
+    not_eye = jnp.abs(row_i - col_i) > 0.5
+
+    in_range = (-VEHICLE_LENGTH <= s) & (s < fs.length + VEHICLE_LENGTH)
+    occupiable = in_range & active & (jnp.abs(kind - KIND_LANDMARK) > 0.5)
+
+    def sel_off(lane):
+        out = jnp.zeros_like(lane)
+        for l, v in enumerate(off):
+            out = jnp.where(jnp.abs(lane - l) < 0.5, v, out)
+        return out
+
+    lane_off = sel_off(f["lane"])
+
+    # --- pair machinery ---------------------------------------------------- #
+    s_c = s[None, :, :]          # column vehicle longitudinal
+    s_q = s[:, None, :]          # query row longitudinal
+    occ_c = occupiable[None, :, :]
+    lat_c = lat0[None, :, :]
+
+    BIG = 1e9
+
+    def neigh_masks(query_off):
+        """front/rear one-hot pair masks + existence for a (V, blk) query
+        lane offset.  Tie-break = lowest column index (matches argmax of
+        the XLA path)."""
+        m = (
+            (jnp.abs(lat_c - query_off[:, None, :]) <= fs.width / 2 + 1.0)
+            & occ_c & not_eye
+        )
+        front_ok = m & (s_q <= s_c)
+        f_key = jnp.where(front_ok, s_c, BIG)
+        f_min = jnp.min(f_key, axis=1)                     # (V, blk)
+        f_hit = front_ok & (f_key <= f_min[:, None, :])
+        # first column among ties
+        f_col = jnp.min(jnp.where(f_hit, col_i, BIG), axis=1)
+        f_hot = (f_hit & (col_i <= f_col[:, None, :])).astype(F32)
+        front_ex = f_min < BIG
+
+        rear_ok = m & (s_c < s_q)
+        r_key = jnp.where(rear_ok, s_c, -BIG)
+        r_max = jnp.max(r_key, axis=1)
+        r_hit = rear_ok & (r_key >= r_max[:, None, :])
+        r_col = jnp.min(jnp.where(r_hit, col_i, BIG), axis=1)
+        r_hot = (r_hit & (col_i <= r_col[:, None, :])).astype(F32)
+        rear_ex = r_max > -BIG
+        return f_hot, front_ex, r_hot, rear_ex
+
+    cos_h = jnp.cos(f["heading"])
+    sin_h = jnp.sin(f["heading"])
+    vxv = f["speed"] * cos_h
+    vyv = f["speed"] * sin_h
+
+    fetch_fields = {
+        "speed": f["speed"], "target_speed": f["target_speed"], "s": s,
+        "vx": vxv, "vy": vyv, "cos": cos_h, "sin": sin_h,
+        "is_vehicle": is_vehicle.astype(F32),
+    }
+
+    def fetch(hot):
+        """Contract a one-hot (Vq, Vc, blk) mask against each field."""
+        out = {}
+        for k, v in fetch_fields.items():
+            out[k] = jnp.sum(hot * v[None, :, :], axis=1)
+        out["is_vehicle"] = out["is_vehicle"] > 0.5
+        return out
+
+    self_row = dict(fetch_fields)
+    self_row["is_vehicle"] = is_vehicle
+
+    def accel_pair(eg, ego_ex, fr, fr_ex):
+        ego_speed = eg["speed"]
+        ego_ts_raw = eg["target_speed"]
+        ego_ts = (
+            ego_ts_raw
+            if np.isinf(fs.speed_limit)
+            else jnp.clip(ego_ts_raw, 0.0, fs.speed_limit)
+        )
+        free = p.comfort_acc_max * (
+            1.0
+            - jnp.power(
+                jnp.maximum(ego_speed, 0.0) / jnp.abs(not_zero(ego_ts)),
+                f["delta"],
+            )
+        )
+        d = fr["s"] - eg["s"]
+        dv = (ego_speed * eg["cos"] - fr["vx"]) * eg["cos"] + (
+            ego_speed * eg["sin"] - fr["vy"]
+        ) * eg["sin"]
+        ab = -p.comfort_acc_max * p.comfort_acc_min
+        d_star = (
+            p.distance_wanted
+            + ego_speed * p.time_wanted
+            + ego_speed * dv / (2 * jnp.sqrt(ab))
+        )
+        interaction = p.comfort_acc_max * jnp.square(d_star / not_zero(d))
+        acc = free - jnp.where(fr_ex, interaction, 0.0)
+        vt = ego_ts_raw - ego_speed
+        d_safe = p.distance_wanted + jnp.maximum(ego_speed, 0.0) * 2.5
+        dv_raw = jnp.minimum(fr["speed"] - ego_speed, 0.0)
+        dp = jnp.minimum(d - d_safe, 0.0)
+        acc_lin = (
+            f["accel_p0"] * vt
+            + f["accel_p1"] * jnp.where(fr_ex, dv_raw, 0.0)
+            + f["accel_p2"] * jnp.where(fr_ex, dp, 0.0)
+        )
+        acc = jnp.where(is_linear, acc_lin, acc)
+        return jnp.where(ego_ex & eg["is_vehicle"], acc, 0.0)
+
+    T = jnp.ones_like(crashed)
+
+    op_hot, op_ex, of_hot, of_ex = neigh_masks(lane_off)
+    row_op = fetch(op_hot)
+    row_of = fetch(of_hot)
+    a_self = accel_pair(self_row, T, row_op, op_ex)
+
+    mid_change = jnp.abs(f["lane"] - f["target_lane"]) > 0.5
+    # do_every(delay, timer): delay < timer (utils/math.py:42-43)
+    tick = f["timer"] > p.lane_change_delay
+    deciding = idm & ~mid_change & tick & (f["enable_lane_change"] > 0.5)
+    new_timer = jnp.where(deciding, 0.0, f["timer"])
+    moving = jnp.abs(f["speed"]) >= 1.0
+
+    a_of = accel_pair(row_of, of_ex, self_row, T)
+    a_of_pred = accel_pair(row_of, of_ex, row_op, op_ex)
+
+    target = f["target_lane"]
+    for d in (-1, 1):
+        cand = jnp.clip(f["lane"] + d, 0.0, L - 1.0)
+        exists = (f["lane"] + d >= -0.5) & (f["lane"] + d < L - 0.5)
+        cand_off = sel_off(cand)
+        np_hot, np_ex, nf_hot, nf_ex = neigh_masks(cand_off)
+        row_np = fetch(np_hot)
+        row_nf = fetch(nf_hot)
+        a_nf = accel_pair(row_nf, nf_ex, row_np, np_ex)
+        a_nf_pred = accel_pair(row_nf, nf_ex, self_row, T)
+        a_self_pred = accel_pair(self_row, T, row_np, np_ex)
+        safe = a_nf_pred >= -f["mobil_max_braking"]
+        jerk = (
+            a_self_pred
+            - a_self
+            + p.politeness * (a_nf_pred - a_nf + a_of_pred - a_of)
+        )
+        reachable = (
+            (jnp.abs(lat0 - cand_off) <= 2 * fs.width)
+            & (0 <= s)
+            & (s < fs.length + VEHICLE_LENGTH)
+        )
+        ok = (
+            deciding & exists & reachable & moving & safe
+            & (jerk >= f["mobil_gain"])
+        )
+        target = jnp.where(ok, cand, target)
+
+    # abort-on-conflict (behavior.py:229-243)
+    d_ij = s_c - s_q
+    dv_ij = (vxv[:, None, :] - vxv[None, :, :]) * cos_h[:, None, :] + (
+        vyv[:, None, :] - vyv[None, :, :]
+    ) * sin_h[:, None, :]
+    ab = -p.comfort_acc_max * p.comfort_acc_min
+    d_star_ij = (
+        p.distance_wanted
+        + f["speed"][:, None, :] * p.time_wanted
+        + f["speed"][:, None, :] * dv_ij / (2 * jnp.sqrt(ab))
+    )
+    conflict = (
+        not_eye
+        & (is_controlled.astype(F32)[None, :, :] > 0.5)
+        & (jnp.abs(f["lane"][None, :, :] - f["target_lane"][:, None, :]) > 0.5)
+        & (
+            jnp.abs(f["target_lane"][None, :, :] - f["target_lane"][:, None, :])
+            < 0.5
+        )
+        & (0.0 < d_ij)
+        & (d_ij < d_star_ij)
+    )
+    abort = idm & mid_change & (
+        jnp.max(conflict.astype(F32), axis=1) > 0.5
+    )
+    target = jnp.where(abort, f["lane"], target)
+
+    # --- low-level controls ------------------------------------------------ #
+    new_tgt_off = sel_off(target)
+    lat_t = lat0 - new_tgt_off
+    lateral_speed_command = -controller.KP_LATERAL * lat_t
+    heading_command = _asin(
+        jnp.clip(lateral_speed_command / not_zero(f["speed"]), -1.0, 1.0)
+    )
+    heading_ref = fs.theta + jnp.clip(heading_command, -jnp.pi / 4, jnp.pi / 4)
+    heading_rate = controller.KP_HEADING * wrap_to_pi(
+        heading_ref - f["heading"]
+    )
+    sin_slip = jnp.clip(
+        f["length"] / 2 / not_zero(f["speed"]) * heading_rate, -1.0, 1.0
+    )
+    cos_slip = jnp.sqrt(jnp.maximum(1.0 - sin_slip * sin_slip, 0.0))
+    steer_pc = _atan2_pos_x(2 * sin_slip, cos_slip)
+    feat_h = (
+        wrap_to_pi(fs.theta - f["heading"]) * f["length"] / not_zero(f["speed"])
+    )
+    feat_lat = -lat_t * f["length"] / (not_zero(f["speed"]) ** 2)
+    steer_lin = f["steer_p0"] * feat_h + f["steer_p1"] * feat_lat
+    steering = jnp.where(is_linear, steer_lin, steer_pc)
+    steering = jnp.clip(
+        steering, -controller.MAX_STEERING_ANGLE, controller.MAX_STEERING_ANGLE
+    )
+
+    # dual-lane IDM while mid-change
+    mid = jnp.abs(f["lane"] - target) > 0.5
+    npt_hot, npt_ex, _, _ = neigh_masks(new_tgt_off)
+    a_t = accel_pair(self_row, T, fetch(npt_hot), npt_ex)
+    accel = jnp.where(mid, jnp.minimum(a_self, a_t), a_self)
+    accel = jnp.clip(accel, -p.acc_max, p.acc_max)
+
+    is_ego = jnp.abs(kind - KIND_EGO) < 0.5
+    if raw_controls:
+        new_steer = jnp.where(idm, steering, f["steering"])
+        new_accel = jnp.where(idm, accel, f["accel"])
+    else:
+        ego_acc = controller.KP_A * (f["target_speed"] - f["speed"])
+        new_steer = jnp.where(
+            is_ego, steer_pc, jnp.where(idm, steering, f["steering"])
+        )
+        new_accel = jnp.where(
+            is_ego, ego_acc, jnp.where(idm, accel, f["accel"])
+        )
+
+    # --- integrate (vehicle/kinematics.py:130-168) ------------------------- #
+    st = jnp.where(crashed, 0.0, new_steer)
+    ac = jnp.where(crashed, -1.0 * f["speed"], new_accel)
+    ac = jnp.where(
+        f["speed"] > MAX_SPEED,
+        jnp.minimum(ac, MAX_SPEED - f["speed"]),
+        jnp.where(
+            f["speed"] < MIN_SPEED,
+            jnp.maximum(ac, MIN_SPEED - f["speed"]),
+            ac,
+        ),
+    )
+    beta = _atan(0.5 * _tan(st))
+    hb = f["heading"] + beta
+    pend = f["impact_pending"] > 0.5
+    px = f["px"] + f["speed"] * jnp.cos(hb) * dt + jnp.where(
+        pend, f["impact_x"], 0.0
+    )
+    py = f["py"] + f["speed"] * jnp.sin(hb) * dt + jnp.where(
+        pend, f["impact_y"], 0.0
+    )
+    new_crashed = crashed | (pend & is_vehicle)
+    heading = f["heading"] + f["speed"] * jnp.sin(beta) / (f["length"] / 2) * dt
+    speed = f["speed"] + ac * dt
+
+    mv = is_vehicle
+    px = jnp.where(mv, px, f["px"])
+    py = jnp.where(mv, py, f["py"])
+    heading = jnp.where(mv, heading, f["heading"])
+    speed = jnp.where(mv, speed, f["speed"])
+    # logic ops, not a select: mosaic cannot lower i1-operand selects
+    crashed_f = ((mv & new_crashed) | (~mv & crashed)).astype(F32)
+    impact_x = jnp.where(mv, 0.0, f["impact_x"])
+    impact_y = jnp.where(mv, 0.0, f["impact_y"])
+    pend_left = pend & ~mv
+    timer = jnp.where(mv, new_timer + dt, new_timer)
+
+    # --- re-localization --------------------------------------------------- #
+    lat0_new = (px - ox) * nx + (py - oy) * ny
+    new_lane = jnp.zeros_like(f["lane"])
+    best_d = jnp.abs(lat0_new - off[0])
+    for l in range(1, L):
+        d_l = jnp.abs(lat0_new - off[l])
+        better = d_l < best_d
+        new_lane = jnp.where(better, float(l), new_lane)
+        best_d = jnp.where(better, d_l, best_d)
+    lane = jnp.where(mv, new_lane, f["lane"])
+
+    # --- collisions (sphere pre-check + swept SAT, ops/collision.py) ------- #
+    from highwayenv_tpu.utils.math import rects_intersecting_xy
+
+    kind_q = kind[:, None, :]
+    kind_c = kind[None, :, :]
+    upper = row_i < col_i
+    veh_q = (kind_q > KIND_EGO - 0.5) & (kind_q < KIND_PLAIN + 0.5)
+    veh_c = (kind_c > KIND_EGO - 0.5) & (kind_c < KIND_PLAIN + 0.5)
+    chk_q = f["check_collisions"][:, None, :] > 0.5
+    chk_c = f["check_collisions"][None, :, :] > 0.5
+    pair_ok = (
+        upper
+        & (kind_q > 0.5) & (kind_c > 0.5)
+        & (veh_q | veh_c)
+        & (chk_q | chk_c)
+        & (f["collidable"][:, None, :] > 0.5)
+        & (f["collidable"][None, :, :] > 0.5)
+    )
+    dx = px[:, None, :] - px[None, :, :]
+    dy = py[:, None, :] - py[None, :, :]
+    dist2 = dx * dx + dy * dy
+    diag = jnp.sqrt(f["length"] ** 2 + f["width"] ** 2)
+    reach = (diag[:, None, :] + diag[None, :, :]) / 2 + speed[:, None, :] * dt
+    pair_ok = pair_ok & (dist2 <= reach * reach)
+
+    velx = speed * jnp.cos(heading)
+    vely = speed * jnp.sin(heading)
+    inter, will, tx, ty = rects_intersecting_xy(
+        px[:, None, :], py[:, None, :],
+        f["length"][:, None, :], f["width"][:, None, :], heading[:, None, :],
+        px[None, :, :], py[None, :, :],
+        f["length"][None, :, :], f["width"][None, :, :], heading[None, :, :],
+        relx=(velx[:, None, :] - velx[None, :, :]) * dt,
+        rely=(vely[:, None, :] - vely[None, :, :]) * dt,
+    )
+    inter = inter & pair_ok
+    will = will & pair_ok
+    solid_q = (kind_q > 0.5) & (jnp.abs(kind_q - KIND_LANDMARK) > 0.5)
+    solid_c = (kind_c > 0.5) & (jnp.abs(kind_c - KIND_LANDMARK) > 0.5)
+    both = solid_q & solid_c
+    obst_q = jnp.abs(kind_q - KIND_OBSTACLE) < 0.5
+    obst_c = jnp.abs(kind_c - KIND_OBSTACLE) < 0.5
+    w = will & both
+    neither = ~obst_q & ~obst_c
+    coef_q = jnp.where(w & obst_c, 1.0, jnp.where(w & neither, 0.5, 0.0))
+    coef_c = jnp.where(w & obst_q, 1.0, jnp.where(w & neither, -0.5, 0.0))
+    impact_x = impact_x + jnp.sum(coef_q * tx, axis=1) + jnp.sum(
+        coef_c * tx, axis=0
+    )
+    impact_y = impact_y + jnp.sum(coef_q * ty, axis=1) + jnp.sum(
+        coef_c * ty, axis=0
+    )
+
+    def anyf(x, axis):
+        return jnp.max(x.astype(F32), axis=axis) > 0.5
+
+    impact_pending = (
+        pend_left
+        | anyf(w & ~obst_q, 1)
+        | anyf(w & ~obst_c, 0)
+    )
+    crash_pair = inter & both
+    crashed_out = (
+        (crashed_f > 0.5) | anyf(crash_pair, 1) | anyf(crash_pair, 0)
+    )
+    hit_pair_q = inter & ~solid_q
+    hit_pair_c = inter & ~solid_c
+    hit = (f["hit"] > 0.5) | anyf(hit_pair_q, 1) | anyf(hit_pair_c, 0)
+
+    out = dict(f)
+    out.update(
+        px=px, py=py, heading=heading, speed=speed, lane=lane,
+        target_lane=target, timer=timer,
+        crashed=crashed_out.astype(F32), hit=hit.astype(F32),
+        impact_pending=impact_pending.astype(F32),
+        impact_x=impact_x, impact_y=impact_y,
+        steering=new_steer, accel=new_accel,
+    )
+    return out
+
+
+def build_pallas_frame(env, block: int = 128, interpret: bool = False):
+    """Returns frame(arrays) -> arrays running ONE frame as a pallas_call
+    over (V, B) f32 state arrays (BM_FIELDS order)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fs = env._straight
+    p = env.idm_params
+    dt = env.dt
+    raw = getattr(env.action_type, "stores_raw_controls", False)
+    body = functools.partial(_frame_body, fs, p, dt, raw)
+    n = len(BM_FIELDS)
+
+    def kernel(*refs):
+        f = {name: r[:] for name, r in zip(BM_FIELDS, refs[:n])}
+        out = body(f)
+        for name, r in zip(BM_FIELDS, refs[n:]):
+            r[:] = out[name]
+
+    def frame(arrays):
+        V, B = arrays[0].shape
+        grid = (B // block,)
+        spec = lambda: pl.BlockSpec(
+            (V, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((V, B), F32) for _ in range(n)],
+            grid=grid,
+            in_specs=[spec() for _ in range(n)],
+            out_specs=[spec() for _ in range(n)],
+            # in-place state update: halves the HBM footprint and keeps the
+            # scan carry out of scoped VMEM
+            input_output_aliases={i: i for i in range(n)},
+            interpret=interpret,
+        )(*arrays)
+
+    return frame
+
+
+def pallas_simulate_bm(
+    env, veh: VehicleState, slot_actions, frames: int,
+    block: int = 128, interpret: bool = False,
+) -> VehicleState:
+    """Policy-step simulation: ego meta-action applied in XLA (frame 0),
+    then ``frames`` pallas frame calls via lax.scan."""
+    ego_mask = veh.kind == KIND_EGO
+    veh = env.action_type.apply(env.geo, veh, ego_mask, slot_actions)
+
+    frame = build_pallas_frame(env, block=block, interpret=interpret)
+    arrays = pack_bm(veh)
+
+    def body(arrs, _):
+        return list(frame(arrs)), None
+
+    arrays, _ = jax.lax.scan(body, arrays, None, length=frames)
+    return unpack_bm(arrays, veh)

@@ -623,11 +623,11 @@ class RoadNetworkBuilder:
     # ------------------------------------------------------------------ #
     # compilation
     # ------------------------------------------------------------------ #
-    def build(self) -> LaneGeometry:
+    def build(self, dtype=np.float32) -> LaneGeometry:
         L = sum(len(v) for v in self._edges.values())
         assert L > 0, "empty road network"
 
-        f32 = np.float32
+        f32 = dtype
         kind = np.zeros(L, np.int32)
         start = np.zeros((L, 2), f32)
         end = np.zeros((L, 2), f32)
@@ -727,7 +727,7 @@ class RoadNetworkBuilder:
         # (same rule) at offset -pred_length
         K = 1 + S + P
         conn_lanes = np.full((L, K), -1, np.int32)
-        conn_offsets = np.zeros((L, K), np.float32)
+        conn_offsets = np.zeros((L, K), dtype)
         for g_idx in range(L):
             conn_lanes[g_idx, 0] = g_idx
             lid = lane_id[g_idx]

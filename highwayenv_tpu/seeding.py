@@ -549,10 +549,15 @@ def _spawn_vehicle_intersection(env, rng, vehicles, longitudinal=0.0,
 # --------------------------------------------------------------------------- #
 # scene -> VehicleState
 # --------------------------------------------------------------------------- #
-def scene_to_state(env, objs):
+def scene_to_state(env, objs, dtype=None):
     """Build the engine's VehicleState from host spawn records (the package
-    twin of the test harness's reference-scene injection)."""
+    twin of the test harness's reference-scene injection).
+
+    ``dtype`` (default float32) sets the float dtype of the produced state;
+    pass jnp.float64 under JAX_ENABLE_X64 for full-precision parity runs."""
     import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
 
     net = env.net
     V = env.num_slots
@@ -563,8 +568,12 @@ def scene_to_state(env, objs):
     ego_slots = list(env.ego_slots)
     free_slots = [i for i in range(V) if i not in set(ego_slots)]
 
+    def _host(x):
+        x = np.asarray(x)
+        return x.astype(np.float64) if np.issubdtype(x.dtype, np.floating) else x.copy()
+
     arr = {
-        name: np.asarray(getattr(st, name)).copy()
+        name: _host(getattr(st, name))
         for name in (
             "pos heading speed lane target_lane target_speed speed_index "
             "timer delta crashed kind length width check_collisions "
@@ -606,19 +615,19 @@ def scene_to_state(env, objs):
             arr["route_len"][i] = len(v.route)
 
     return st.replace(
-        pos=jnp.asarray(arr["pos"], jnp.float32),
-        heading=jnp.asarray(arr["heading"], jnp.float32),
-        speed=jnp.asarray(arr["speed"], jnp.float32),
+        pos=jnp.asarray(arr["pos"], dtype),
+        heading=jnp.asarray(arr["heading"], dtype),
+        speed=jnp.asarray(arr["speed"], dtype),
         lane=jnp.asarray(arr["lane"], jnp.int32),
         target_lane=jnp.asarray(arr["target_lane"], jnp.int32),
-        target_speed=jnp.asarray(arr["target_speed"], jnp.float32),
+        target_speed=jnp.asarray(arr["target_speed"], dtype),
         speed_index=jnp.asarray(arr["speed_index"], jnp.int32),
-        timer=jnp.asarray(arr["timer"], jnp.float32),
-        delta=jnp.asarray(arr["delta"], jnp.float32),
+        timer=jnp.asarray(arr["timer"], dtype),
+        delta=jnp.asarray(arr["delta"], dtype),
         crashed=jnp.asarray(arr["crashed"]),
         kind=jnp.asarray(arr["kind"], jnp.int32),
-        length=jnp.asarray(arr["length"], jnp.float32),
-        width=jnp.asarray(arr["width"], jnp.float32),
+        length=jnp.asarray(arr["length"], dtype),
+        width=jnp.asarray(arr["width"], dtype),
         check_collisions=jnp.asarray(arr["check_collisions"]),
         enable_lane_change=jnp.asarray(arr["enable_lane_change"]),
         route_base=jnp.asarray(arr["route_base"]),

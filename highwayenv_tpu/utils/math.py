@@ -194,6 +194,29 @@ def rects_intersecting(
         displacement_a = jnp.zeros_like(center_a)
     if displacement_b is None:
         displacement_b = jnp.zeros_like(center_b)
+    inter, will, tx, ty = rects_intersecting_xy(
+        center_a[..., 0], center_a[..., 1], length_a, width_a, angle_a,
+        center_b[..., 0], center_b[..., 1], length_b, width_b, angle_b,
+        displacement_a[..., 0] - displacement_b[..., 0],
+        displacement_a[..., 1] - displacement_b[..., 1],
+    )
+    return inter, will, jnp.stack([tx, ty], axis=-1)
+
+
+def rects_intersecting_xy(
+    dax, day, length_a, width_a, angle_a,
+    dbx, dby, length_b, width_b, angle_b,
+    relx=None, rely=None,
+):
+    """Component-wise core of :func:`rects_intersecting` — no trailing
+    (..., 2) vector axes anywhere, so it is usable inside Pallas TPU kernels
+    (a minor dim of 2 tiles catastrophically on the VPU).  ``relx/rely`` is
+    the relative displacement (a - b) for the velocity sweep.  Returns
+    (intersecting, will_intersect, tx, ty)."""
+    if relx is None:
+        relx = jnp.zeros_like(dax)
+    if rely is None:
+        rely = jnp.zeros_like(day)
 
     ca, sa = jnp.cos(angle_a), jnp.sin(angle_a)
     cb, sb = jnp.cos(angle_b), jnp.sin(angle_b)
@@ -203,13 +226,6 @@ def rects_intersecting(
         (-ca, -sa), (-sa, ca), (ca, sa), (sa, -ca),
         (-cb, -sb), (-sb, cb), (cb, sb), (sb, -cb),
     ]
-
-    dax = center_a[..., 0]
-    day = center_a[..., 1]
-    dbx = center_b[..., 0]
-    dby = center_b[..., 1]
-    relx = displacement_a[..., 0] - displacement_b[..., 0]
-    rely = displacement_a[..., 1] - displacement_b[..., 1]
 
     intersecting = None
     will_intersect = None
@@ -254,10 +270,12 @@ def rects_intersecting(
     dcx = dax - dbx
     dcy = day - dby
     sign = jnp.where(dcx * best_ax + dcy * best_ay > 0, 1.0, -1.0)
-    translation = jnp.stack(
-        [min_dist * sign * best_ax, min_dist * sign * best_ay], axis=-1
+    return (
+        intersecting,
+        will_intersect,
+        min_dist * sign * best_ax,
+        min_dist * sign * best_ay,
     )
-    return intersecting, will_intersect, translation
 
 
 def distance_to_rect(ray_origin, ray_end, corners):

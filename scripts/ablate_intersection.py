@@ -1,5 +1,7 @@
 """Ablation timings for intersection-v0 on TPU (host-materialized)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -1,5 +1,7 @@
 """Time regulation sub-components on TPU (15 calls per 'step' like _simulate)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

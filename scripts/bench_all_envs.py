@@ -1,5 +1,7 @@
 """Per-scenario throughput table on TPU (honest host-materialized timing)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 
@@ -18,7 +20,7 @@ ENV_IDS = sys.argv[1:] or [
     "two-way-v0", "u-turn-v0", "exit-v0", "parking-v0", "racetrack-v0",
     "intersection-v0", "lane-keeping-v0",
 ]
-B = 1024
+B = int(__import__("os").environ.get("BENCH_ENVS", 1024))
 HORIZON = 16
 
 mesh = make_mesh(jax.devices())

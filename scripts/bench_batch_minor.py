@@ -3,6 +3,8 @@ path.  vmap(in_axes=-1) makes every sim op carry the batch on the minor
 (lane) axis, so (V, V, B) pair matrices waste no lanes (B >= 128) instead of
 padding V=51 -> 128 (60% waste batch-major)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import sys
 

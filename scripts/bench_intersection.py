@@ -1,5 +1,7 @@
 """TPU A/B: pooled-reset rollout vs in-step autoreset on intersection-v0."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

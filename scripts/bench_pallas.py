@@ -1,5 +1,7 @@
 """TPU A/B: pallas megakernel vs XLA fast path on highway-v0 simulate core."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import sys
 

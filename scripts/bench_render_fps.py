@@ -2,6 +2,8 @@
 scripts/regression_test/bench_render_fps.py equivalent): frames/sec of the
 numpy rasterizer and of the jitted grayscale observation pipeline."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

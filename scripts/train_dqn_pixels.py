@@ -7,6 +7,8 @@ network — lives on device; only logging touches the host.
 Usage: python scripts/train_dqn_pixels.py [iters] [batch_envs]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from __future__ import annotations
 
 import sys

@@ -12,6 +12,8 @@ episode ("future" strategy, k=4-equivalent via uniform future sampling).
 Usage: python scripts/train_her_parking.py [iters] [batch_envs]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from __future__ import annotations
 
 import sys

@@ -1,6 +1,8 @@
 """Cross-validate straight_pallas.frame_core (XLA interpretation) against
 straight_fast.straight_frame over real highway rollouts."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")

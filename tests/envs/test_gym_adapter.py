@@ -36,12 +36,16 @@ def test_all_ids_construct():
 def test_adapter_episode(env_id):
     env = GymEnv(env_id)
     obs, info = env.reset(seed=3)
-    assert env.observation_space.contains(
-        np.asarray(obs, dtype=env.observation_space.dtype)
-        if hasattr(env.observation_space, "dtype")
-        and env.observation_space.dtype is not None
-        else obs
-    ) or True  # dict/tuple spaces checked structurally below
+
+    def _np_cast(space, o):
+        # numpy-cast leaves so containment checks dtype-compatibly
+        if isinstance(space, gym.spaces.Tuple):
+            return tuple(_np_cast(s, x) for s, x in zip(space.spaces, o))
+        if isinstance(space, gym.spaces.Dict):
+            return {k: _np_cast(space.spaces[k], o[k]) for k in space.spaces}
+        return np.asarray(o, dtype=space.dtype)
+
+    assert env.observation_space.contains(_np_cast(env.observation_space, obs))
     for _ in range(5):
         a = env.action_space.sample()
         obs, reward, terminated, truncated, info = env.step(a)
