@@ -95,6 +95,24 @@ class BaseEnv:
     #: set False to force the general frame kernel even on straight networks
     fast_straight = True
 
+    #: pallas block width for the batched straight-path kernel
+    pallas_block = 128
+
+    def _use_pallas(self, batch: int) -> bool:
+        """Pallas frame kernel: TPU platform + straight network + batch a
+        multiple of the block width; HT_NO_PALLAS=1 disables."""
+        import os
+
+        if os.environ.get("HT_NO_PALLAS"):
+            return False
+        if self._straight is None or batch % self.pallas_block != 0:
+            return False
+        try:
+            # 'axon' is the tunneled-TPU plugin platform name
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
+
     def _build(self):
         self._build_scene()  # subclass: sets self.net / self.geo / slots
         self._build_spaces()
@@ -696,8 +714,48 @@ class BaseEnv:
 
     def step_autoreset(self, state: EnvState, action):
         """Single-env step that re-initializes on episode end (the Gymnasium
-        vector autoreset contract: terminal obs replaced by the reset obs)."""
-        return self._autoreset(*self._step(state, action))
+        vector autoreset contract: terminal obs replaced by the reset obs).
+
+        When ``_step`` is not overridden, the observation is computed ONCE on
+        the post-select state instead of twice (step obs + reset obs then
+        select) — observationally identical, and the observation head is a
+        large share of the non-sim cost at scale."""
+        if type(self)._step is not BaseEnv._step:
+            return self._autoreset(*self._step(state, action))
+
+        slot_actions = self._action_to_slots(action)
+        state = state.replace(
+            time=state.time + 1.0 / self.config["policy_frequency"]
+        )
+        state = self._simulate(state, slot_actions)
+        return self._finish_autoreset(state, action)
+
+    def _finish_autoreset(self, state: EnvState, action):
+        """Reward/termination + in-place reset select + single observe, for
+        an already-simulated state (single-env semantics; vmap outside)."""
+        state = self._push_frame(state)
+        reward = self._reward(state, action)
+        terminated = self._is_terminated(state)
+        truncated = self._is_truncated(state)
+        mes = self.config.get("max_episode_steps")
+        if mes:
+            truncated = truncated | (
+                state.steps // self.frames_per_step >= mes
+            )
+        info = self._info(state, action)
+
+        done = terminated | truncated
+        k_reset, k_next = jax.random.split(state.key)
+        _reset_obs, reset_state = self._reset(k_reset)  # obs branch DCE'd
+        reset_state = reset_state.replace(key=k_next)
+
+        def where_done(x, y):
+            d = jnp.reshape(done, done.shape + (1,) * (x.ndim - done.ndim))
+            return jnp.where(d, x, y)
+
+        state = jax.tree.map(where_done, reset_state, state)
+        obs = self._observe(state)
+        return obs, state, reward, terminated, truncated, info
 
     def _autoreset(self, obs, new_state, reward, terminated, truncated, info):
         done = terminated | truncated
@@ -738,6 +796,20 @@ class BaseEnv:
             time=states.time + 1.0 / self.config["policy_frequency"]
         )
 
+        B = states.time.shape[0]
+        if self._use_pallas(B):
+            # batch-minor pallas frame kernel: whole frame VMEM-resident
+            # per 128-env block (ops/straight_pallas_bm.py)
+            from highwayenv_tpu.ops.straight_pallas_bm import pallas_simulate_bm
+
+            veh = pallas_simulate_bm(
+                self, states.vehicles, slot_actions, self.frames_per_step
+            )
+            states = states.replace(
+                vehicles=veh, steps=states.steps + self.frames_per_step
+            )
+            return jax.vmap(self._finish_autoreset)(states, actions)
+
         def t(x):
             return jnp.moveaxis(x, 0, -1)
 
@@ -769,7 +841,4 @@ class BaseEnv:
             steps=states.steps + self.frames_per_step,
         )
 
-        def rest(state, action):
-            return self._autoreset(*self._finish_step(state, action))
-
-        return jax.vmap(rest)(states, actions)
+        return jax.vmap(self._finish_autoreset)(states, actions)

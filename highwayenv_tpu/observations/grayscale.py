@@ -157,7 +157,7 @@ class GrayscaleObservation:
         kmin = jnp.min(key, axis=-2)  # (N,)
         first = jnp.argmax(key == kmin[..., None, :], axis=-2)  # (N,)
         oh = jax.nn.one_hot(first, kind.shape[-1], dtype=g.dtype)
-        g_veh = jnp.einsum("...nv,...v->...n", oh, gv)
+        g_veh = jnp.einsum("...nv,...v->...n", oh, gv, precision="highest")
         covered = kmin < 99
         g = jnp.where(covered, g_veh, g)
 

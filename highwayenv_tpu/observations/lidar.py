@@ -66,7 +66,7 @@ class LidarObservation:
         )
 
         rel_vel = state.velocity - origin_vel[..., None, :]  # (V, 2)
-        vel_k = jnp.einsum("...vd,kd->...vk", rel_vel, dirs)  # (V, K)
+        vel_k = jnp.einsum("...vd,kd->...vk", rel_vel, dirs, precision="highest")  # (V, K)
 
         # center write (observation.py:720-726)
         center_angle = (
@@ -116,8 +116,8 @@ class LidarObservation:
         u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
         v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
         q_minus_r = rng * dirs  # (K, 2)
-        rqu = jnp.einsum("kd,...vd->...vk", q_minus_r, u)
-        rqv = jnp.einsum("kd,...vd->...vk", q_minus_r, v)
+        rqu = jnp.einsum("kd,...vd->...vk", q_minus_r, u, precision="highest")
+        rqv = jnp.einsum("kd,...vd->...vk", q_minus_r, v, precision="highest")
         ar = a - origin[..., None, :]
         br = b - origin[..., None, :]
         dr = d4 - origin[..., None, :]
@@ -125,10 +125,10 @@ class LidarObservation:
         def div(x, y):
             return x / jnp.where(y == 0.0, 1e-12, y)
 
-        i1_a = div(jnp.einsum("...vd,...vd->...v", ar, u)[..., None], rqu)
-        i1_b = div(jnp.einsum("...vd,...vd->...v", br, u)[..., None], rqu)
-        i2_a = div(jnp.einsum("...vd,...vd->...v", ar, v)[..., None], rqv)
-        i2_b = div(jnp.einsum("...vd,...vd->...v", dr, v)[..., None], rqv)
+        i1_a = div(jnp.einsum("...vd,...vd->...v", ar, u, precision="highest")[..., None], rqu)
+        i1_b = div(jnp.einsum("...vd,...vd->...v", br, u, precision="highest")[..., None], rqu)
+        i2_a = div(jnp.einsum("...vd,...vd->...v", ar, v, precision="highest")[..., None], rqv)
+        i2_b = div(jnp.einsum("...vd,...vd->...v", dr, v, precision="highest")[..., None], rqv)
         lo1 = jnp.where(rqu >= 0, i1_a, i1_b)
         hi1 = jnp.where(rqu >= 0, i1_b, i1_a)
         lo2 = jnp.where(rqv >= 0, i2_a, i2_b)

@@ -49,7 +49,7 @@ def compute_ttc_grid(
     dist0 = s_all - s_all[..., ego][..., None]  # (V,)
 
     other_dir = state.direction
-    proj_speed = state.speed * jnp.einsum("...vd,...d->...v", other_dir, ego_dir)
+    proj_speed = state.speed * jnp.einsum("...vd,...d->...v", other_dir, ego_dir, precision="highest")
 
     # candidate lanes of each other vehicle: its own lane id if its edge has
     # the same lane count as the ego's, else "all lanes" (finite_mdp.py:145-152)
@@ -94,7 +94,7 @@ def compute_ttc_grid(
                 t_ok[..., None].astype(jnp.float32)
                 * t_onehot
             )  # (S, V, T)
-            contrib = cost * jnp.einsum("...svt,...vl->...slt", cell, lane_mask)
+            contrib = cost * jnp.einsum("...svt,...vl->...slt", cell, lane_mask, precision="highest")
             # einsum sums duplicate scatters; the reference takes max per cell
             grid = jnp.maximum(grid, jnp.minimum(contrib, cost))
     return grid

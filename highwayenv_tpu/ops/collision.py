@@ -45,7 +45,7 @@ def handle_collisions(state: VehicleState, dt: float) -> VehicleState:
     # spherical pre-check (objects.py:122-134); `self` = lower index i.
     # |pi-pj|^2 via one batched matmul (MXU) instead of a (V,V,2) subtract.
     sq = jnp.sum(pos * pos, axis=-1)
-    cross = jnp.einsum("...id,...jd->...ij", pos, pos)
+    cross = jnp.einsum("...id,...jd->...ij", pos, pos, precision="highest")
     dist2 = jnp.maximum(sq[..., :, None] + sq[..., None, :] - 2.0 * cross, 0.0)
     reach = (state.diagonal[..., :, None] + state.diagonal[..., None, :]) / 2 + (
         state.speed[..., :, None] * dt

@@ -170,7 +170,7 @@ def _rows(idx, fields):
     """
     V = fields.shape[-2]
     oh = jax.nn.one_hot(idx, V, dtype=fields.dtype)
-    return jnp.einsum("...kv,...vf->...kf", oh, fields)
+    return jnp.einsum("...kv,...vf->...kf", oh, fields, precision="highest")
 
 
 def straight_frame(

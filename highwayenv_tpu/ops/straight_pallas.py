@@ -209,7 +209,7 @@ def frame_core(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
 
     def fetch(idx):
         oh = jax.nn.one_hot(idx, V, dtype=F32)
-        r = jnp.einsum("...kv,...vf->...kf", oh, fields)
+        r = jnp.einsum("...kv,...vf->...kf", oh, fields, precision="highest")
         return {
             "speed": r[..., 0], "target_speed": r[..., 1], "s": r[..., 2],
             "vx": r[..., 3], "vy": r[..., 4], "cos": r[..., 5],

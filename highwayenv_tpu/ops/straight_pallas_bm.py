@@ -188,12 +188,20 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
         "is_vehicle": is_vehicle.astype(F32),
     }
 
-    def fetch(hot):
-        """Contract a one-hot (Vq, Vc, blk) mask against each field."""
+    # accel_pair reads only these fields per role: the "ego" row of a pair
+    # uses its speed/target/cos/sin/s/is_vehicle, the "front" row only
+    # s/vx/vy/speed — fetching the minimal set saves one (V,V,blk)
+    # mul+reduce contraction per skipped field
+    EGO_KEYS = ("speed", "target_speed", "s", "cos", "sin", "is_vehicle")
+    FRONT_KEYS = ("speed", "s", "vx", "vy")
+
+    def fetch(hot, keys=None):
+        """Contract a one-hot (Vq, Vc, blk) mask against selected fields."""
         out = {}
-        for k, v in fetch_fields.items():
-            out[k] = jnp.sum(hot * v[None, :, :], axis=1)
-        out["is_vehicle"] = out["is_vehicle"] > 0.5
+        for k in keys or fetch_fields.keys():
+            out[k] = jnp.sum(hot * fetch_fields[k][None, :, :], axis=1)
+        if "is_vehicle" in out:
+            out["is_vehicle"] = out["is_vehicle"] > 0.5
         return out
 
     self_row = dict(fetch_fields)
@@ -241,8 +249,8 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     T = jnp.ones_like(crashed)
 
     op_hot, op_ex, of_hot, of_ex = neigh_masks(lane_off)
-    row_op = fetch(op_hot)
-    row_of = fetch(of_hot)
+    row_op = fetch(op_hot, FRONT_KEYS)
+    row_of = fetch(of_hot, EGO_KEYS)
     a_self = accel_pair(self_row, T, row_op, op_ex)
 
     mid_change = jnp.abs(f["lane"] - f["target_lane"]) > 0.5
@@ -256,13 +264,15 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     a_of_pred = accel_pair(row_of, of_ex, row_op, op_ex)
 
     target = f["target_lane"]
+    np_front = {}  # d -> (hot, ex) of the candidate-lane front neighbour
     for d in (-1, 1):
         cand = jnp.clip(f["lane"] + d, 0.0, L - 1.0)
         exists = (f["lane"] + d >= -0.5) & (f["lane"] + d < L - 0.5)
         cand_off = sel_off(cand)
         np_hot, np_ex, nf_hot, nf_ex = neigh_masks(cand_off)
-        row_np = fetch(np_hot)
-        row_nf = fetch(nf_hot)
+        np_front[d] = (np_hot, np_ex)
+        row_np = fetch(np_hot, FRONT_KEYS)
+        row_nf = fetch(nf_hot, EGO_KEYS)
         a_nf = accel_pair(row_nf, nf_ex, row_np, np_ex)
         a_nf_pred = accel_pair(row_nf, nf_ex, self_row, T)
         a_self_pred = accel_pair(self_row, T, row_np, np_ex)
@@ -336,10 +346,27 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
         steering, -controller.MAX_STEERING_ANGLE, controller.MAX_STEERING_ANGLE
     )
 
-    # dual-lane IDM while mid-change
+    # dual-lane IDM while mid-change.  target is always within one lane of
+    # the current lane (MOBIL moves one lane at a time and re-localization
+    # tracks it), so the target-lane front neighbour is one of the three
+    # already-computed queries — select per row instead of a 4th mask pass.
     mid = jnp.abs(f["lane"] - target) > 0.5
-    npt_hot, npt_ex, _, _ = neigh_masks(new_tgt_off)
-    a_t = accel_pair(self_row, T, fetch(npt_hot), npt_ex)
+    d_t = target - f["lane"]  # in {-1, 0, +1}
+    d_t3 = d_t[:, None, :]
+    npt_hot = jnp.where(
+        jnp.abs(d_t3) < 0.5,
+        op_hot,
+        jnp.where(d_t3 < 0, np_front[-1][0], np_front[1][0]),
+    )
+    # bool select via logic ops (mosaic cannot lower i1-operand selects)
+    is0 = jnp.abs(d_t) < 0.5
+    ism = d_t < -0.5
+    npt_ex = (
+        (is0 & op_ex)
+        | (ism & np_front[-1][1])
+        | (~is0 & ~ism & np_front[1][1])
+    )
+    a_t = accel_pair(self_row, T, fetch(npt_hot, FRONT_KEYS), npt_ex)
     accel = jnp.where(mid, jnp.minimum(a_self, a_t), a_self)
     accel = jnp.clip(accel, -p.acc_max, p.acc_max)
 
@@ -485,9 +512,20 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     return out
 
 
-def build_pallas_frame(env, block: int = 128, interpret: bool = False):
+def build_pallas_frame(
+    env,
+    block: int = 128,
+    interpret: bool = False,
+    vmem_limit_mb: int = int(__import__("os").environ.get("HT_PALLAS_VMEM_MB", 100)),
+    frames: int = 1,
+):
     """Returns frame(arrays) -> arrays running ONE frame as a pallas_call
-    over (V, B) f32 state arrays (BM_FIELDS order)."""
+    over (V, B) f32 state arrays (BM_FIELDS order).
+
+    ``vmem_limit_mb`` raises mosaic's scoped-VMEM cap (default 16 MB): the
+    kernel's (V, V, block) pair working set is ~50 MB at block=128 and the
+    whole point is keeping it VMEM-resident.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -500,7 +538,11 @@ def build_pallas_frame(env, block: int = 128, interpret: bool = False):
 
     def kernel(*refs):
         f = {name: r[:] for name, r in zip(BM_FIELDS, refs[:n])}
-        out = body(f)
+        if frames == 1:
+            out = body(f)
+        else:
+            # whole policy step VMEM-resident: no HBM round trip per frame
+            out = jax.lax.fori_loop(0, frames, lambda _i, ff: body(ff), f)
         for name, r in zip(BM_FIELDS, refs[n:]):
             r[:] = out[name]
 
@@ -519,6 +561,11 @@ def build_pallas_frame(env, block: int = 128, interpret: bool = False):
             # in-place state update: halves the HBM footprint and keeps the
             # scan carry out of scoped VMEM
             input_output_aliases={i: i for i in range(n)},
+            compiler_params=None
+            if interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            ),
             interpret=interpret,
         )(*arrays)
 
@@ -530,15 +577,20 @@ def pallas_simulate_bm(
     block: int = 128, interpret: bool = False,
 ) -> VehicleState:
     """Policy-step simulation: ego meta-action applied in XLA (frame 0),
-    then ``frames`` pallas frame calls via lax.scan."""
+    then all ``frames`` frames in ONE VMEM-resident pallas megakernel
+    (fori_loop inside the kernel — compiles fine in the batch-minor
+    layout; round 1's batch-major megakernel hung mosaic)."""
     ego_mask = veh.kind == KIND_EGO
     veh = env.action_type.apply(env.geo, veh, ego_mask, slot_actions)
 
-    frame = build_pallas_frame(env, block=block, interpret=interpret)
-    arrays = pack_bm(veh)
+    key = (id(env), block, interpret, frames)
+    cache = _FRAME_CACHE
+    if key not in cache:
+        cache[key] = build_pallas_frame(
+            env, block=block, interpret=interpret, frames=frames
+        )
+    arrays = cache[key](pack_bm(veh))
+    return unpack_bm(list(arrays), veh)
 
-    def body(arrs, _):
-        return list(frame(arrs)), None
 
-    arrays, _ = jax.lax.scan(body, arrays, None, length=frames)
-    return unpack_bm(arrays, veh)
+_FRAME_CACHE: dict = {}

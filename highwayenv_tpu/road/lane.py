@@ -216,7 +216,7 @@ def _poly_frenet(geo: LaneGeometry, p, pos):
     S = samples.shape[-2]
     idxs = jnp.arange(S)
     delta = pos[..., None, :] - samples
-    proj = jnp.einsum("...sd,...sd->...s", normals, delta)
+    proj = jnp.einsum("...sd,...sd->...s", normals, delta, precision="highest")
     ortho_x, ortho_y = -normals[..., 1], normals[..., 0]
     lat_all = ortho_x * delta[..., 0] + ortho_y * delta[..., 1]
     valid = (idxs >= 1) & (idxs < geo.poly_n[p][..., None]) & (proj >= 0)
@@ -241,8 +241,8 @@ def local_coordinates(geo: LaneGeometry, lane: jnp.ndarray, pos: jnp.ndarray):
 
     # straight frame
     delta = pos - geo.start[li]
-    s_str = jnp.einsum("...d,...d->...", delta, geo.direction[li])
-    r_str = jnp.einsum("...d,...d->...", delta, geo.direction_lateral[li])
+    s_str = jnp.einsum("...d,...d->...", delta, geo.direction[li], precision="highest")
+    r_str = jnp.einsum("...d,...d->...", delta, geo.direction_lateral[li], precision="highest")
     # sine correction on the straight frame
     r_sin = r_str - geo.amplitude[li] * jnp.sin(
         geo.pulsation[li] * s_str + geo.phase[li]
@@ -514,7 +514,7 @@ def table_lookup(table: jnp.ndarray, vehicle_idx: jnp.ndarray, lane_idx: jnp.nda
     see row_lookup."""
     V = table.shape[-1]
     oh_v = jax.nn.one_hot(vehicle_idx, V, dtype=table.dtype)  # (...,K,V)
-    rows = jnp.einsum("...kv,...lv->...lk", oh_v, table)
+    rows = jnp.einsum("...kv,...lv->...lk", oh_v, table, precision="highest")
     return row_lookup(rows, lane_idx)
 
 
@@ -526,4 +526,4 @@ def pair_project(table: jnp.ndarray, query_lane: jnp.ndarray):
     """
     L = table.shape[-2]
     onehot = jax.nn.one_hot(query_lane, L, dtype=table.dtype)  # (...,V,L)
-    return jnp.einsum("...il,...lj->...ij", onehot, table)
+    return jnp.einsum("...il,...lj->...ij", onehot, table, precision="highest")

@@ -200,8 +200,8 @@ def enforce_road_rules(
     p_i = prio[..., :, None]
     p_j = prio[..., None, :]
     d = state.pos[..., None, :, :] - state.pos[..., :, None, :]  # j - i
-    front_ij = jnp.einsum("...ijd,...id->...ij", d, state.direction)
-    front_ji = jnp.einsum("...ijd,...jd->...ij", -d, state.direction)
+    front_ij = jnp.einsum("...ijd,...id->...ij", d, state.direction, precision="highest")
+    front_ji = jnp.einsum("...ijd,...jd->...ij", -d, state.direction, precision="highest")
     i_yields = jnp.where(
         p_i > p_j, False, jnp.where(p_i < p_j, True, front_ij > front_ji)
     )

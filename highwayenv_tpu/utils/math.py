@@ -294,15 +294,15 @@ def distance_to_rect(ray_origin, ray_end, corners):
     u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
     v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
     rq = q - r
-    rqu = jnp.einsum("...d,...d->...", rq, u)
-    rqv = jnp.einsum("...d,...d->...", rq, v)
+    rqu = jnp.einsum("...d,...d->...", rq, u, precision="highest")
+    rqv = jnp.einsum("...d,...d->...", rq, v, precision="highest")
     eps = 1e-12
     rqu = jnp.where(jnp.abs(rqu) < eps, eps, rqu)
     rqv = jnp.where(jnp.abs(rqv) < eps, eps, rqv)
-    i1_lo = jnp.einsum("...d,...d->...", a - r, u) / rqu
-    i1_hi = jnp.einsum("...d,...d->...", b - r, u) / rqu
-    i2_lo = jnp.einsum("...d,...d->...", a - r, v) / rqv
-    i2_hi = jnp.einsum("...d,...d->...", d - r, v) / rqv
+    i1_lo = jnp.einsum("...d,...d->...", a - r, u, precision="highest") / rqu
+    i1_hi = jnp.einsum("...d,...d->...", b - r, u, precision="highest") / rqu
+    i2_lo = jnp.einsum("...d,...d->...", a - r, v, precision="highest") / rqv
+    i2_hi = jnp.einsum("...d,...d->...", d - r, v, precision="highest") / rqv
     lo1 = jnp.minimum(i1_lo, i1_hi)
     hi1 = jnp.maximum(i1_lo, i1_hi)
     lo2 = jnp.minimum(i2_lo, i2_hi)

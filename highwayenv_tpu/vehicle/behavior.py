@@ -94,8 +94,8 @@ def neighbours_connected(
 
     # per (i, k, j) = table[cand[i, k], j]: one-hot contraction over lanes
     oh = jax.nn.one_hot(cl, L, dtype=table_s.dtype)  # (...,V,K,L)
-    s_jk = jnp.einsum("...ikl,...lj->...ikj", oh, table_s)  # (V,K,V)
-    lat_jk = jnp.einsum("...ikl,...lj->...ikj", oh, table_lat)
+    s_jk = jnp.einsum("...ikl,...lj->...ikj", oh, table_s, precision="highest")  # (V,K,V)
+    lat_jk = jnp.einsum("...ikl,...lj->...ikj", oh, table_lat, precision="highest")
     width_k = geo.width[cl][..., :, :, None]
     len_k = geo.length[cl][..., :, :, None]
     on = (
@@ -107,10 +107,10 @@ def neighbours_connected(
     first_k = jnp.argmax(on, axis=-2)  # (V,V)
     matched = jnp.any(on, axis=-2)
     oh_first = jax.nn.one_hot(first_k, K, dtype=s_jk.dtype)  # (V,V,K)
-    s_assigned = jnp.einsum("...ikj,...ijk->...ij", s_jk, oh_first)
+    s_assigned = jnp.einsum("...ikj,...ijk->...ij", s_jk, oh_first, precision="highest")
     s_assigned = s_assigned + jnp.einsum(
         "...ik,...ijk->...ij", offs, oh_first
-    )
+    , precision="highest")
 
     eye = jnp.eye(V, dtype=bool)
     elig = (
@@ -252,7 +252,7 @@ def _accel_pair(
         ],
         axis=-1,
     )  # (...,V,6)
-    eg = jnp.einsum("...kv,...vf->...kf", oh_ego, ego_fields)
+    eg = jnp.einsum("...kv,...vf->...kf", oh_ego, ego_fields, precision="highest")
     ego_speed, ego_ts = eg[..., 0], eg[..., 1]
     ego_lane = jnp.round(eg[..., 2]).astype(jnp.int32)
     ego_dir_x, ego_dir_y = eg[..., 3], eg[..., 4]
@@ -266,7 +266,7 @@ def _accel_pair(
         ],
         axis=-1,
     )
-    fr = jnp.einsum("...kv,...vf->...kf", oh_front, front_fields)
+    fr = jnp.einsum("...kv,...vf->...kf", oh_front, front_fields, precision="highest")
     front_vx, front_vy = fr[..., 0], fr[..., 1]
     front_speed = fr[..., 2]
 
@@ -284,8 +284,8 @@ def _accel_pair(
 
     # gap on the ego's current lane (objects.py:183-198), via the table:
     # rows for ego/front come from the same one-hot matmuls
-    rows_e = jnp.einsum("...kv,...lv->...lk", oh_ego, table_s)
-    rows_f = jnp.einsum("...kv,...lv->...lk", oh_front, table_s)
+    rows_e = jnp.einsum("...kv,...lv->...lk", oh_ego, table_s, precision="highest")
+    rows_f = jnp.einsum("...kv,...lv->...lk", oh_front, table_s, precision="highest")
     s_e = lane_ops.row_lookup(rows_e, ego_lane)
     s_f = lane_ops.row_lookup(rows_f, ego_lane)
     d = s_f - s_e

@@ -29,11 +29,14 @@ veh = states.vehicles
 arrays = [np.asarray(a) for a in pack_bm(veh)]
 print(f"block={block} B={B} mode={mode} V={arrays[0].shape[0]}", flush=True)
 
-frame = build_pallas_frame(env, block=block)
+nframes = 15 if mode == "mega" else 1
+frame = build_pallas_frame(env, block=block, frames=nframes)
 
 
 @jax.jit
 def run15(arrs):
+    if mode == "mega":
+        return list(frame(list(arrs)))
     if mode == "unroll":
         arrs = list(arrs)
         for _ in range(15):
