@@ -246,11 +246,16 @@ class IntersectionEnv(BaseEnv):
         rb, rn, rid, rlen = self._routes
         delta = jax.random.uniform(k_delta, (), minval=3.5, maxval=4.5)
 
+        # masked one-hot write instead of 14 dynamic-index scatters: the
+        # elementwise selects fuse into one pass over the state (the scatter
+        # chain alone cost ~30 ms/step at B=1024 on TPU)
+        hot = (jnp.arange(veh.num_slots) == slot) & ok  # (V,)
+
         def set1(field, value):
-            return field.at[slot].set(jnp.where(ok, value, field[slot]))
+            return jnp.where(hot, value, field)
 
         return veh.replace(
-            pos=veh.pos.at[slot].set(jnp.where(ok, pos, veh.pos[slot])),
+            pos=jnp.where(hot[:, None], pos[None, :], veh.pos),
             heading=set1(veh.heading, heading.astype(jnp.float32)),
             speed=set1(veh.speed, speed.astype(jnp.float32)),
             lane=set1(veh.lane, lane),
@@ -264,15 +269,9 @@ class IntersectionEnv(BaseEnv):
             crashed=set1(veh.crashed, False),
             is_yielding=set1(veh.is_yielding, False),
             yield_timer=set1(veh.yield_timer, 0),
-            route_base=veh.route_base.at[slot].set(
-                jnp.where(ok, rb[r0, r1], veh.route_base[slot])
-            ),
-            route_n=veh.route_n.at[slot].set(
-                jnp.where(ok, rn[r0, r1], veh.route_n[slot])
-            ),
-            route_id=veh.route_id.at[slot].set(
-                jnp.where(ok, rid[r0, r1], veh.route_id[slot])
-            ),
+            route_base=jnp.where(hot[:, None], rb[r0, r1][None, :], veh.route_base),
+            route_n=jnp.where(hot[:, None], rn[r0, r1][None, :], veh.route_n),
+            route_id=jnp.where(hot[:, None], rid[r0, r1][None, :], veh.route_id),
             route_ptr=set1(veh.route_ptr, 0),
             route_len=set1(veh.route_len, rlen[r0, r1]),
         )
