@@ -98,6 +98,15 @@ class BaseEnv:
     #: pallas block width for the batched straight-path kernel
     pallas_block = 128
 
+    #: unroll factor for the general-path frame scan: small-V scenarios are
+    #: launch/fusion-overhead bound, so letting XLA fuse across frames wins
+    #: (override with HT_SCAN_UNROLL)
+    @property
+    def _scan_unroll(self) -> int:
+        import os
+
+        return int(os.environ.get("HT_SCAN_UNROLL", 5))
+
     def _use_pallas(self, batch: int) -> bool:
         """Pallas frame kernel: TPU platform + straight network + batch a
         multiple of the block width; HT_NO_PALLAS=1 disables."""
@@ -395,6 +404,7 @@ class BaseEnv:
             body,
             (state.vehicles, tables0),
             jnp.arange(self.frames_per_step),
+            unroll=self._scan_unroll,
         )
         return state.replace(
             vehicles=veh, steps=state.steps + self.frames_per_step

@@ -122,6 +122,32 @@ class GymEnv(gymnasium.Env):
 
         if self._state is None:
             raise RuntimeError("reset() must be called before render()")
+        if self.config.get("show_trajectories"):
+            # per-slot pose history for trajectory ghosts
+            # (vehicle/graphics.py:146-171; Vehicle.history deque(30))
+            import collections
+
+            if not hasattr(self, "_history"):
+                self._history = {}
+            veh = self._state.vehicles
+            import numpy as _np
+
+            kind = _np.asarray(veh.kind)
+            pos = _np.asarray(veh.pos)
+            heading = _np.asarray(veh.heading)
+            length = _np.asarray(veh.length)
+            width = _np.asarray(veh.width)
+            for i in range(self.env.num_slots):
+                if kind[i] == 0:
+                    continue
+                dq = self._history.setdefault(
+                    i, collections.deque(maxlen=30)
+                )
+                dq.appendleft(
+                    (pos[i].copy(), float(heading[i]), float(length[i]),
+                     float(width[i]))
+                )
+            return render_rgb(self.env, self._state, history=self._history)
         return render_rgb(self.env, self._state)
 
     def render(self):

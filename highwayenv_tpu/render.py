@@ -127,8 +127,12 @@ def _visible_s_window(lane, cam_center, cam):
     return max(0.0, s_c - half), min(float(lane.length), s_c + half)
 
 
-def render_rgb(env, state) -> np.ndarray:
-    """(H, W, 3) uint8 frame centered on the first controlled vehicle."""
+def render_rgb(env, state, history=None) -> np.ndarray:
+    """(H, W, 3) uint8 frame centered on the first controlled vehicle.
+
+    ``history``: optional per-slot deque of past (pos, heading) snapshots
+    (maintained by the stateful viewer); drawn as faded trajectory ghosts
+    when ``config["show_trajectories"]`` (vehicle/graphics.py:146-171)."""
     cfg = env.config
     veh = state.vehicles
     pos = np.asarray(veh.pos)
@@ -172,6 +176,35 @@ def render_rgb(env, state) -> np.ndarray:
             else:  # continuous
                 pts = _lane_points(lane, lat, s0, s1)
                 _draw_polyline(img, cam, pts, WHITE)
+
+    # trajectory ghosts: faded rectangles at past poses
+    # (vehicle/graphics.py:146-171 display_history, every 5th frame)
+    if history and cfg.get("show_trajectories"):
+        for i, snaps in history.items():
+            for k, (hp, hh, hl, hw) in enumerate(list(snaps)[::5]):
+                fade = 0.25
+                base = np.array(YELLOW if i not in env.ego_slots else GREEN)
+                ghost = tuple(
+                    (fade * base + (1 - fade) * np.array(GREY)).astype(int)
+                )
+                _fill_rect(img, cam, hp, hl, hw, hh, ghost)
+
+    # lidar overlay (envs/common/graphics.py:258-288): one ray per angular
+    # cell, clipped at the measured distance
+    if type(env.observation_type).__name__ == "LidarObservation":
+        ot = env.observation_type
+        grid = np.asarray(
+            ot.observe(env.geo, state.vehicles, env.ego_slots[0])
+        )
+        cells = grid.shape[0]
+        dist = grid[:, 0] * (
+            ot.maximum_range if getattr(ot, "normalize", True) else 1.0
+        )
+        angles = np.arange(cells) * ot.angle
+        origin = pos[ego]
+        for a, d in zip(angles, dist):
+            end = origin + d * np.array([np.cos(a), np.sin(a)])
+            _draw_polyline(img, cam, np.stack([origin, end]), (200, 200, 200))
 
     # objects + vehicles (vehicle/graphics.py:20-100)
     kind = np.asarray(veh.kind)
