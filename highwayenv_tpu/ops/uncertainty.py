@@ -600,3 +600,165 @@ class MultipleModelTracker:
         route, data = self.data[index]
         obs.target_lane = self.env.net.global_lane_index(route[0])
         return obs, list(route), data
+
+
+# --------------------------------------------------------------------------- #
+# batched device kernel: nonlinear interval observer over a fleet
+# --------------------------------------------------------------------------- #
+def observer_step_batch(
+    geo,
+    target_lane,
+    target_speed,
+    theta_a_i,
+    theta_b_i,
+    position_i,
+    speed_i,
+    heading_i,
+    position,
+    dt,
+    front_position_i=None,
+    front_speed_i=None,
+    front_mask=None,
+):
+    """One nonlinear interval-observer step for a BATCH of observers
+    (jittable; leading batch dims everywhere).
+
+    The per-vehicle host path (IntervalObserver.observer_step) mirrors this
+    math one observer at a time; here the whole fleet propagates in one
+    fused kernel.  ``front_mask`` (bool (...,)) enables the leader-coupling
+    features per row.
+
+    Shapes: target_lane (...,) i32; target_speed (...,); theta_a_i
+    (..., 2, 3); theta_b_i (..., 2, 2); position_i (..., 2, 2) [min/max of
+    x,y]; speed_i/heading_i (..., 2); position (..., 2).
+    Returns (position_i, speed_i, heading_i).
+    """
+    import jax.numpy as jnp
+
+    from highwayenv_tpu.ops.interval import (
+        box_integrator,
+        box_section,
+    )
+    from highwayenv_tpu.utils.math import wrap_to_pi
+
+    f32 = jnp.float32
+    position_i = jnp.asarray(position_i, f32)
+    v_i = jnp.asarray(speed_i, f32)
+    psi_i = jnp.asarray(heading_i, f32)
+    theta_a_i = jnp.asarray(theta_a_i, f32)
+    theta_b_i = jnp.asarray(theta_b_i, f32)
+    if front_mask is None:
+        front_mask = jnp.zeros(v_i.shape[:-1], bool)
+        front_position_i = jnp.zeros_like(position_i)
+        front_speed_i = jnp.zeros_like(v_i)
+
+    # lane frame at the measured position
+    s0, _ = lane_ops.local_coordinates(geo, target_lane, jnp.asarray(position, f32))
+    lane_psi = lane_ops.heading_at(geo, target_lane, s0)
+
+    def iprod_scalar(a_i, b_i):
+        """Interval product of scalar intervals (..., 2) x (..., 2)."""
+        cands = jnp.stack(
+            [
+                a_i[..., 0] * b_i[..., 0], a_i[..., 0] * b_i[..., 1],
+                a_i[..., 1] * b_i[..., 0], a_i[..., 1] * b_i[..., 1],
+            ],
+            axis=-1,
+        )
+        return jnp.stack(
+            [cands.min(axis=-1), cands.max(axis=-1)], axis=-1
+        )
+
+    # IDM-like features phi_a (..., 2, 3): [target-speed err, dv-, gap-]
+    zero = jnp.zeros_like(v_i)
+    dvf = jnp.stack(
+        [front_speed_i[..., 0] - v_i[..., 1], front_speed_i[..., 1] - v_i[..., 0]],
+        axis=-1,
+    )
+    phi_a1 = jnp.where(front_mask[..., None], jnp.minimum(dvf, 0.0), zero)
+    lane_dir = jnp.stack([jnp.cos(lane_psi), jnp.sin(lane_psi)], axis=-1)
+    diff_box = jnp.stack(
+        [
+            front_position_i[..., 0, :] - position_i[..., 1, :],
+            front_position_i[..., 1, :] - position_i[..., 0, :],
+        ],
+        axis=-2,
+    )
+    d_i = box_section(diff_box, lane_dir)
+    d_safe_i = DISTANCE_WANTED + TIME_WANTED * v_i
+    gap = jnp.stack(
+        [d_i[..., 0] - d_safe_i[..., 1], d_i[..., 1] - d_safe_i[..., 0]],
+        axis=-1,
+    )
+    phi_a2 = jnp.where(front_mask[..., None], jnp.minimum(gap, 0.0), zero)
+    phi_a = jnp.stack([jnp.zeros_like(phi_a1), phi_a1, phi_a2], axis=-1)
+
+    # steering feature phi_b (..., 2, 2) from the lateral interval
+    from highwayenv_tpu.ops.interval import box_absolute_to_local
+
+    _, lat_i = box_absolute_to_local(geo, target_lane, position_i)
+    lateral_i = -jnp.flip(lat_i, axis=-1)
+    i_v_i = 1.0 / jnp.flip(v_i, axis=-1)
+    phi_b1 = iprod_scalar(lateral_i, i_v_i)
+    phi_b = jnp.stack(
+        [jnp.zeros_like(phi_b1), phi_b1], axis=-1
+    )
+
+    def iprod_rowvec(theta, phi):
+        """Interval product of a (..., 2, K) theta with (..., 2, K) phi,
+        contracted over K with interval semantics per term."""
+        terms = iprod_scalar(
+            jnp.moveaxis(theta, -1, 0).reshape((-1,) + theta.shape[:-2] + (2,)),
+            jnp.moveaxis(phi, -1, 0).reshape((-1,) + phi.shape[:-2] + (2,)),
+        )
+        return jnp.sum(terms, axis=0)
+
+    a_i = iprod_rowvec(theta_a_i, phi_a)
+    b_i = iprod_rowvec(theta_b_i, phi_b)
+
+    dv_err = jnp.stack(
+        [target_speed - v_i[..., 1], target_speed - v_i[..., 0]], axis=-1
+    )
+    dv_i = iprod_scalar(
+        jnp.stack([theta_a_i[..., 0, 0], theta_a_i[..., 1, 0]], axis=-1), dv_err
+    )
+    dv_i = jnp.clip(dv_i + a_i, -ACC_MAX, ACC_MAX)
+
+    delta_psi = wrap_to_pi(psi_i - lane_psi[..., None])
+    d_psi_i = box_integrator(
+        delta_psi,
+        jnp.stack([theta_b_i[..., 0, 0], theta_b_i[..., 1, 0]], axis=-1),
+    )
+    d_psi_i = d_psi_i + b_i
+
+    # cos/sin interval bounds (branch-free version of the host logic)
+    lo, hi = psi_i[..., 0], psi_i[..., 1]
+    cos_lo = jnp.where(
+        (lo <= jnp.pi) & (jnp.pi <= hi),
+        -1.0,
+        jnp.minimum(jnp.cos(lo), jnp.cos(hi)),
+    )
+    cos_hi = jnp.where(
+        (lo <= 0.0) & (0.0 <= hi),
+        1.0,
+        jnp.maximum(jnp.cos(lo), jnp.cos(hi)),
+    )
+    sin_lo = jnp.where(
+        (lo <= -jnp.pi / 2) & (-jnp.pi / 2 <= hi),
+        -1.0,
+        jnp.minimum(jnp.sin(lo), jnp.sin(hi)),
+    )
+    sin_hi = jnp.where(
+        (lo <= jnp.pi / 2) & (jnp.pi / 2 <= hi),
+        1.0,
+        jnp.maximum(jnp.sin(lo), jnp.sin(hi)),
+    )
+    dx_i = iprod_scalar(v_i, jnp.stack([cos_lo, cos_hi], axis=-1))
+    dy_i = iprod_scalar(v_i, jnp.stack([sin_lo, sin_hi], axis=-1))
+
+    noise = NOISE_PARTIAL * dt * jnp.asarray([-1.0, 1.0])
+    new_speed = v_i + dv_i * dt
+    new_heading = psi_i + d_psi_i * dt + noise
+    new_pos = position_i.at[..., 0].add(dx_i * dt + noise)
+    new_pos = new_pos.at[..., 1].add(dy_i * dt + noise)
+    return new_pos, new_speed, new_heading

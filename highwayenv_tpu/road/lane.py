@@ -510,20 +510,29 @@ def row_lookup(table: jnp.ndarray, lane_idx: jnp.ndarray):
 def table_lookup(table: jnp.ndarray, vehicle_idx: jnp.ndarray, lane_idx: jnp.ndarray):
     """table (...,L,V) -> values at (vehicle_idx, lane_idx), both (...,K).
 
-    Implemented as one-hot contractions (MXU) rather than a flat gather —
-    see row_lookup."""
+    Mask+sum select (VPU, exact f32, fuses with neighbours) — an MXU
+    one-hot einsum at these degenerate sizes costs a 6-pass f32 matmul
+    under precision=highest and breaks fusion."""
     V = table.shape[-1]
-    oh_v = jax.nn.one_hot(vehicle_idx, V, dtype=table.dtype)  # (...,K,V)
-    rows = jnp.einsum("...kv,...lv->...lk", oh_v, table, precision="highest")
-    return row_lookup(rows, lane_idx)
+    ohv = (
+        vehicle_idx[..., :, None] == jnp.arange(V, dtype=vehicle_idx.dtype)
+    )  # (...,K,V)
+    # rows[k, l] = table[l, vehicle_idx[k]]
+    rows = jnp.sum(
+        jnp.where(ohv[..., :, None, :], table[..., None, :, :], 0.0),
+        axis=-1,
+    )  # (...,K,L)
+    return onehot_take(rows, lane_idx)
 
 
 def pair_project(table: jnp.ndarray, query_lane: jnp.ndarray):
-    """All-pairs projection via one-hot matmul (MXU-friendly).
+    """All-pairs projection: out[i, j] = table[query_lane[i], j].
 
-    table (...,L,V), query_lane (...,V) -> out (...,V,V) with
-    out[i, j] = table[query_lane[i], j]: a clean (V,L)x(L,V) batched matmul.
-    """
+    table (...,L,V), query_lane (...,V) -> (...,V,V).  Mask+sum over the
+    (small) lane axis: exact f32 on the VPU and fusable, unlike the MXU
+    one-hot matmul it replaces."""
     L = table.shape[-2]
-    onehot = jax.nn.one_hot(query_lane, L, dtype=table.dtype)  # (...,V,L)
-    return jnp.einsum("...il,...lj->...ij", onehot, table, precision="highest")
+    oh = query_lane[..., :, None] == jnp.arange(L, dtype=query_lane.dtype)
+    return jnp.sum(
+        jnp.where(oh[..., None], table[..., None, :, :], 0.0), axis=-2
+    )

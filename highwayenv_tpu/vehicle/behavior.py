@@ -237,10 +237,17 @@ def _accel_pair(
     """
     V = state.num_slots
     dt_ = table_s.dtype
-    oh_ego = jax.nn.one_hot(ego_idx, V, dtype=dt_)  # (...,K,V)
-    oh_front = jax.nn.one_hot(front_idx, V, dtype=dt_)
 
-    # stacked per-index field fetch: one matmul per one-hot matrix
+    def fetch(idx, fields):
+        """Row fetch as a mask+sum select (VPU-exact, fuses; the MXU
+        one-hot matmul costs a 6-pass f32 contraction at precision=highest
+        and breaks fusion at these tiny sizes).
+        idx (...,K), fields (...,V,F) -> (...,K,F)."""
+        oh = idx[..., :, None] == jnp.arange(V, dtype=idx.dtype)  # (...,K,V)
+        return jnp.sum(
+            jnp.where(oh[..., None], fields[..., None, :, :], 0.0), axis=-2
+        )
+
     ego_fields = jnp.stack(
         [
             state.speed,
@@ -252,7 +259,7 @@ def _accel_pair(
         ],
         axis=-1,
     )  # (...,V,6)
-    eg = jnp.einsum("...kv,...vf->...kf", oh_ego, ego_fields, precision="highest")
+    eg = fetch(ego_idx, ego_fields)
     ego_speed, ego_ts = eg[..., 0], eg[..., 1]
     ego_lane = jnp.round(eg[..., 2]).astype(jnp.int32)
     ego_dir_x, ego_dir_y = eg[..., 3], eg[..., 4]
@@ -266,7 +273,7 @@ def _accel_pair(
         ],
         axis=-1,
     )
-    fr = jnp.einsum("...kv,...vf->...kf", oh_front, front_fields, precision="highest")
+    fr = fetch(front_idx, front_fields)
     front_vx, front_vy = fr[..., 0], fr[..., 1]
     front_speed = fr[..., 2]
 
@@ -282,12 +289,9 @@ def _accel_pair(
         )
     )
 
-    # gap on the ego's current lane (objects.py:183-198), via the table:
-    # rows for ego/front come from the same one-hot matmuls
-    rows_e = jnp.einsum("...kv,...lv->...lk", oh_ego, table_s, precision="highest")
-    rows_f = jnp.einsum("...kv,...lv->...lk", oh_front, table_s, precision="highest")
-    s_e = lane_ops.row_lookup(rows_e, ego_lane)
-    s_f = lane_ops.row_lookup(rows_f, ego_lane)
+    # gap on the ego's current lane (objects.py:183-198), via the table
+    s_e = lane_ops.table_lookup(table_s, ego_idx, ego_lane)
+    s_f = lane_ops.table_lookup(table_s, front_idx, ego_lane)
     d = s_f - s_e
 
     # desired gap (behavior.py:192-217), projected relative speed

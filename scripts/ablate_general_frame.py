@@ -19,7 +19,7 @@ from highwayenv_tpu.ops import collision
 from highwayenv_tpu.vehicle import behavior, controller
 
 B = 1024
-T = 8
+T = 4
 env_id = sys.argv[1] if len(sys.argv) > 1 else "merge-v0"
 env = ht.make(env_id)
 keys = jax.random.split(jax.random.PRNGKey(0), B)
@@ -41,7 +41,7 @@ def timed(label, frame_fn):
                 return frame_fn(vv, tb, sa, i == 0), None
 
             (v, _t), _ = jax.lax.scan(
-                body, (v, tables), jnp.arange(15), unroll=5
+                body, (v, tables), jnp.arange(15), unroll=1
             )
             return v, jnp.sum(v.pos)
 

@@ -51,3 +51,67 @@ def test_interval_contains_true_state(mode):
         )
         np.testing.assert_allclose(o.speed, ref.interval.speed, atol=1e-4)
         np.testing.assert_allclose(o.heading, ref.interval.heading, atol=1e-4)
+
+
+def test_observer_step_batch_matches_host():
+    """The jittable fleet kernel (observer_step_batch) reproduces the
+    per-vehicle host observer, with and without a leading vehicle."""
+    import jax
+    import jax.numpy as jnp
+    from highwayenv_tpu.ops import uncertainty as unc
+
+    geo = _straight_geo()
+    rng = np.random.default_rng(3)
+    B = 8
+    hosts = []
+    for i in range(B):
+        ob = unc.IntervalObserver(geo=geo, target_lane=0, target_speed=25.0)
+        p = np.array([10.0 * i, rng.uniform(-1, 1)])
+        ob.interval = unc.VehicleInterval(
+            position=np.array([p - 0.2, p + 0.2]),
+            speed=np.array([18.0, 19.0]) + i,
+            heading=np.array([-0.05, 0.05]),
+        )
+        hosts.append(ob)
+
+    front = unc.VehicleInterval(
+        position=np.array([[400.0, -0.1], [401.0, 0.1]]),
+        speed=np.array([15.0, 16.0]),
+        heading=np.array([0.0, 0.0]),
+    )
+
+    pos_i = jnp.asarray(np.stack([h.interval.position for h in hosts]))
+    spd_i = jnp.asarray(np.stack([h.interval.speed for h in hosts]))
+    hdg_i = jnp.asarray(np.stack([h.interval.heading for h in hosts]))
+    lanes = jnp.zeros((B,), jnp.int32)
+    ts = jnp.full((B,), 25.0)
+    th_a = jnp.asarray(np.stack([h.theta_a_i for h in hosts]))
+    th_b = jnp.asarray(np.stack([h.theta_b_i for h in hosts]))
+    meas = jnp.asarray(np.stack([h.interval.position.mean(0) for h in hosts]))
+    fmask = jnp.asarray(np.arange(B) % 2 == 0)
+    fpos = jnp.broadcast_to(jnp.asarray(front.position), (B, 2, 2))
+    fspd = jnp.broadcast_to(jnp.asarray(front.speed), (B, 2))
+
+    step = jax.jit(
+        lambda *a: unc.observer_step_batch(geo, *a)
+    )
+    new_pos, new_spd, new_hdg = step(
+        lanes, ts, th_a, th_b, pos_i, spd_i, hdg_i, meas, 0.1,
+        fpos, fspd, fmask,
+    )
+
+    for i, h in enumerate(hosts):
+        f = front if i % 2 == 0 else None
+        h.observer_step(0.1, np.asarray(meas[i]), 18.5, f)
+        np.testing.assert_allclose(
+            np.asarray(new_pos[i]), h.interval.position, atol=2e-4,
+            err_msg=f"row {i} position",
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_spd[i]), h.interval.speed, atol=2e-4,
+            err_msg=f"row {i} speed",
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_hdg[i]), h.interval.heading, atol=2e-4,
+            err_msg=f"row {i} heading",
+        )
