@@ -74,3 +74,38 @@ def pytest_configure(config):
 
     cached_make._memoized = True
     ht.make = cached_make
+
+
+# --------------------------------------------------------------------------- #
+# Test-time budget (reference gates a fast CI suite; Justfile:22-33): the
+# heaviest compiles are centrally marked slow so `pytest -m "not slow"`
+# stays a <5 min profile while still covering every subsystem.  The full
+# suite (including these) runs in the `full` CI job.
+_SLOW_PATTERNS = (
+    "test_pooled_rollout_amortizes_resets",
+    "test_multiagent_v1_registered_with_wrapper",
+    "test_multiagent_wrapper_contract",
+    "test_adapter_episode[intersection-v0]",
+    "test_adapter_episode[roundabout-v0]",
+    "test_adapter_episode[exit-v0]",
+    "test_adapter_episode[racetrack-v0]",
+    "test_adapter_episode[u-turn-v0]",
+    "test_seeded_reset_intersection_spawns",
+    "test_intersection_trace",
+    "test_spawn_and_clear_recycle_slots",
+    "test_set_route_at_intersection",
+    "test_vmap_row_identity[merge-v0]",
+    "test_sharded_equals_unsharded[merge-v0]",
+    "test_batched_step_matches_vmapped[merge-v0]",
+    "test_vmap_row_identity_wide",
+    "test_tracker_accumulates_and_prunes_hypotheses",
+    "test_generic_trace[roundabout-generic",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if any(p in item.nodeid for p in _SLOW_PATTERNS):
+            item.add_marker(_pytest.mark.slow)

@@ -105,8 +105,15 @@ def unpack_bm(arrays: list, veh: VehicleState) -> VehicleState:
 
 
 def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
-                f: dict) -> dict:
-    """One frame on (V, blk) f32 fields.  Pair tensors are (Vq, Vc, blk)."""
+                lean: bool, has_linear: bool, f: dict) -> dict:
+    """One frame on (V, blk) f32 fields.  Pair tensors are (Vq, Vc, blk).
+
+    ``lean``: scene statically contains only vehicles (no obstacles or
+    landmarks — true for the straight highway family, whose resets spawn
+    vehicles exclusively), eliding the solidity/landmark pair logic.
+    ``has_linear``: LinearVehicle NPCs possible (config
+    other_vehicles_type); else the linear accel/steer branches and the
+    front-speed fetch are elided."""
     V = f["px"].shape[0]
     L = len(fs.offsets)
     off = [float(o) for o in fs.offsets]
@@ -118,10 +125,19 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     kind = f["kind"]  # f32 enum
     crashed = f["crashed"] > 0.5
     active = kind > 0.5
-    is_vehicle = (kind > KIND_EGO - 0.5) & (kind < KIND_PLAIN + 0.5)
-    is_controlled = (kind > KIND_EGO - 0.5) & (kind < KIND_LINEAR + 0.5)
-    is_linear = jnp.abs(kind - KIND_LINEAR) < 0.5
-    idm = ((jnp.abs(kind - KIND_IDM) < 0.5) | is_linear) & ~crashed
+    if lean:
+        is_controlled = active
+        is_linear = (
+            jnp.abs(kind - KIND_LINEAR) < 0.5
+            if has_linear
+            else jnp.zeros_like(active)
+        )
+        idm = active & (kind > KIND_EGO + 0.5) & ~crashed
+    else:
+        is_vehicle = (kind > KIND_EGO - 0.5) & (kind < KIND_PLAIN + 0.5)
+        is_controlled = (kind > KIND_EGO - 0.5) & (kind < KIND_LINEAR + 0.5)
+        is_linear = jnp.abs(kind - KIND_LINEAR) < 0.5
+        idm = ((jnp.abs(kind - KIND_IDM) < 0.5) | is_linear) & ~crashed
 
     s = (f["px"] - ox) * ux + (f["py"] - oy) * uy        # (V, blk)
     lat0 = (f["px"] - ox) * nx + (f["py"] - oy) * ny
@@ -133,7 +149,11 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     not_eye = jnp.abs(row_i - col_i) > 0.5
 
     in_range = (-VEHICLE_LENGTH <= s) & (s < fs.length + VEHICLE_LENGTH)
-    occupiable = in_range & active & (jnp.abs(kind - KIND_LANDMARK) > 0.5)
+    if lean:
+        is_vehicle = active
+        occupiable = in_range & active
+    else:
+        occupiable = in_range & active & (jnp.abs(kind - KIND_LANDMARK) > 0.5)
 
     def sel_off(lane):
         out = jnp.zeros_like(lane)
@@ -193,7 +213,7 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     # s/vx/vy/speed — fetching the minimal set saves one (V,V,blk)
     # mul+reduce contraction per skipped field
     EGO_KEYS = ("speed", "target_speed", "s", "cos", "sin", "is_vehicle")
-    FRONT_KEYS = ("speed", "s", "vx", "vy")
+    FRONT_KEYS = ("speed", "s", "vx", "vy") if has_linear else ("s", "vx", "vy")
 
     def fetch(hot, keys=None):
         """Contract a one-hot (Vq, Vc, blk) mask against selected fields."""
@@ -234,16 +254,17 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
         )
         interaction = p.comfort_acc_max * jnp.square(d_star / not_zero(d))
         acc = free - jnp.where(fr_ex, interaction, 0.0)
-        vt = ego_ts_raw - ego_speed
-        d_safe = p.distance_wanted + jnp.maximum(ego_speed, 0.0) * 2.5
-        dv_raw = jnp.minimum(fr["speed"] - ego_speed, 0.0)
-        dp = jnp.minimum(d - d_safe, 0.0)
-        acc_lin = (
-            f["accel_p0"] * vt
-            + f["accel_p1"] * jnp.where(fr_ex, dv_raw, 0.0)
-            + f["accel_p2"] * jnp.where(fr_ex, dp, 0.0)
-        )
-        acc = jnp.where(is_linear, acc_lin, acc)
+        if has_linear:
+            vt = ego_ts_raw - ego_speed
+            d_safe = p.distance_wanted + jnp.maximum(ego_speed, 0.0) * 2.5
+            dv_raw = jnp.minimum(fr["speed"] - ego_speed, 0.0)
+            dp = jnp.minimum(d - d_safe, 0.0)
+            acc_lin = (
+                f["accel_p0"] * vt
+                + f["accel_p1"] * jnp.where(fr_ex, dv_raw, 0.0)
+                + f["accel_p2"] * jnp.where(fr_ex, dp, 0.0)
+            )
+            acc = jnp.where(is_linear, acc_lin, acc)
         return jnp.where(ego_ex & eg["is_vehicle"], acc, 0.0)
 
     T = jnp.ones_like(crashed)
@@ -340,8 +361,11 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
         wrap_to_pi(fs.theta - f["heading"]) * f["length"] / not_zero(f["speed"])
     )
     feat_lat = -lat_t * f["length"] / (not_zero(f["speed"]) ** 2)
-    steer_lin = f["steer_p0"] * feat_h + f["steer_p1"] * feat_lat
-    steering = jnp.where(is_linear, steer_lin, steer_pc)
+    if has_linear:
+        steer_lin = f["steer_p0"] * feat_h + f["steer_p1"] * feat_lat
+        steering = jnp.where(is_linear, steer_lin, steer_pc)
+    else:
+        steering = steer_pc
     steering = jnp.clip(
         steering, -controller.MAX_STEERING_ANGLE, controller.MAX_STEERING_ANGLE
     )
@@ -434,21 +458,32 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     # --- collisions (sphere pre-check + swept SAT, ops/collision.py) ------- #
     from highwayenv_tpu.utils.math import rects_intersecting_xy
 
-    kind_q = kind[:, None, :]
-    kind_c = kind[None, :, :]
     upper = row_i < col_i
-    veh_q = (kind_q > KIND_EGO - 0.5) & (kind_q < KIND_PLAIN + 0.5)
-    veh_c = (kind_c > KIND_EGO - 0.5) & (kind_c < KIND_PLAIN + 0.5)
-    chk_q = f["check_collisions"][:, None, :] > 0.5
-    chk_c = f["check_collisions"][None, :, :] > 0.5
-    pair_ok = (
-        upper
-        & (kind_q > 0.5) & (kind_c > 0.5)
-        & (veh_q | veh_c)
-        & (chk_q | chk_c)
-        & (f["collidable"][:, None, :] > 0.5)
-        & (f["collidable"][None, :, :] > 0.5)
-    )
+    if lean:
+        chk_q = f["check_collisions"][:, None, :] > 0.5
+        chk_c = f["check_collisions"][None, :, :] > 0.5
+        pair_ok = (
+            upper
+            & active[:, None, :] & active[None, :, :]
+            & (chk_q | chk_c)
+            & (f["collidable"][:, None, :] > 0.5)
+            & (f["collidable"][None, :, :] > 0.5)
+        )
+    else:
+        kind_q = kind[:, None, :]
+        kind_c = kind[None, :, :]
+        veh_q = (kind_q > KIND_EGO - 0.5) & (kind_q < KIND_PLAIN + 0.5)
+        veh_c = (kind_c > KIND_EGO - 0.5) & (kind_c < KIND_PLAIN + 0.5)
+        chk_q = f["check_collisions"][:, None, :] > 0.5
+        chk_c = f["check_collisions"][None, :, :] > 0.5
+        pair_ok = (
+            upper
+            & (kind_q > 0.5) & (kind_c > 0.5)
+            & (veh_q | veh_c)
+            & (chk_q | chk_c)
+            & (f["collidable"][:, None, :] > 0.5)
+            & (f["collidable"][None, :, :] > 0.5)
+        )
     dx = px[:, None, :] - px[None, :, :]
     dy = py[:, None, :] - py[None, :, :]
     dist2 = dx * dx + dy * dy
@@ -468,37 +503,53 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     )
     inter = inter & pair_ok
     will = will & pair_ok
-    solid_q = (kind_q > 0.5) & (jnp.abs(kind_q - KIND_LANDMARK) > 0.5)
-    solid_c = (kind_c > 0.5) & (jnp.abs(kind_c - KIND_LANDMARK) > 0.5)
-    both = solid_q & solid_c
-    obst_q = jnp.abs(kind_q - KIND_OBSTACLE) < 0.5
-    obst_c = jnp.abs(kind_c - KIND_OBSTACLE) < 0.5
-    w = will & both
-    neither = ~obst_q & ~obst_c
-    coef_q = jnp.where(w & obst_c, 1.0, jnp.where(w & neither, 0.5, 0.0))
-    coef_c = jnp.where(w & obst_q, 1.0, jnp.where(w & neither, -0.5, 0.0))
-    impact_x = impact_x + jnp.sum(coef_q * tx, axis=1) + jnp.sum(
-        coef_c * tx, axis=0
-    )
-    impact_y = impact_y + jnp.sum(coef_q * ty, axis=1) + jnp.sum(
-        coef_c * ty, axis=0
-    )
 
     def anyf(x, axis):
         return jnp.max(x.astype(F32), axis=axis) > 0.5
 
-    impact_pending = (
-        pend_left
-        | anyf(w & ~obst_q, 1)
-        | anyf(w & ~obst_c, 0)
-    )
-    crash_pair = inter & both
-    crashed_out = (
-        (crashed_f > 0.5) | anyf(crash_pair, 1) | anyf(crash_pair, 0)
-    )
-    hit_pair_q = inter & ~solid_q
-    hit_pair_c = inter & ~solid_c
-    hit = (f["hit"] > 0.5) | anyf(hit_pair_q, 1) | anyf(hit_pair_c, 0)
+    if lean:
+        # vehicle-vehicle only: both solid, split impact +/-0.5
+        w = will
+        wf = w.astype(F32)
+        impact_x = impact_x + 0.5 * (
+            jnp.sum(wf * tx, axis=1) - jnp.sum(wf * tx, axis=0)
+        )
+        impact_y = impact_y + 0.5 * (
+            jnp.sum(wf * ty, axis=1) - jnp.sum(wf * ty, axis=0)
+        )
+        impact_pending = pend_left | anyf(w, 1) | anyf(w, 0)
+        crashed_out = (
+            (crashed_f > 0.5) | anyf(inter, 1) | anyf(inter, 0)
+        )
+        hit = f["hit"] > 0.5
+    else:
+        solid_q = (kind_q > 0.5) & (jnp.abs(kind_q - KIND_LANDMARK) > 0.5)
+        solid_c = (kind_c > 0.5) & (jnp.abs(kind_c - KIND_LANDMARK) > 0.5)
+        both = solid_q & solid_c
+        obst_q = jnp.abs(kind_q - KIND_OBSTACLE) < 0.5
+        obst_c = jnp.abs(kind_c - KIND_OBSTACLE) < 0.5
+        w = will & both
+        neither = ~obst_q & ~obst_c
+        coef_q = jnp.where(w & obst_c, 1.0, jnp.where(w & neither, 0.5, 0.0))
+        coef_c = jnp.where(w & obst_q, 1.0, jnp.where(w & neither, -0.5, 0.0))
+        impact_x = impact_x + jnp.sum(coef_q * tx, axis=1) + jnp.sum(
+            coef_c * tx, axis=0
+        )
+        impact_y = impact_y + jnp.sum(coef_q * ty, axis=1) + jnp.sum(
+            coef_c * ty, axis=0
+        )
+        impact_pending = (
+            pend_left
+            | anyf(w & ~obst_q, 1)
+            | anyf(w & ~obst_c, 0)
+        )
+        crash_pair = inter & both
+        crashed_out = (
+            (crashed_f > 0.5) | anyf(crash_pair, 1) | anyf(crash_pair, 0)
+        )
+        hit_pair_q = inter & ~solid_q
+        hit_pair_c = inter & ~solid_c
+        hit = (f["hit"] > 0.5) | anyf(hit_pair_q, 1) | anyf(hit_pair_c, 0)
 
     out = dict(f)
     out.update(
@@ -533,7 +584,13 @@ def build_pallas_frame(
     p = env.idm_params
     dt = env.dt
     raw = getattr(env.action_type, "stores_raw_controls", False)
-    body = functools.partial(_frame_body, fs, p, dt, raw)
+    # straight-network resets spawn vehicles only (highway family):
+    # obstacle/landmark logic elides; linear branches only when the NPC
+    # type is a Linear preset (BaseEnv._NPC_PRESETS)
+    lean = bool(getattr(env, "pallas_lean", True))
+    npc = env.config.get("other_vehicles_type", "").rsplit(".", 1)[-1]
+    has_linear = npc in getattr(env, "_NPC_PRESETS", {})
+    body = functools.partial(_frame_body, fs, p, dt, raw, lean, has_linear)
     n = len(BM_FIELDS)
 
     def kernel(*refs):
