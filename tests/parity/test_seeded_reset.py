@@ -163,3 +163,51 @@ def test_gym_adapter_seeded_reset_uses_host_path():
     # continuing the generator chain: second unseeded reset differs
     obs3, _ = env.reset()
     assert not np.array_equal(obs1, obs3)
+
+
+@pytest.mark.parametrize("env_id", ["highway-v0", "merge-v0", "parking-v0"])
+def test_seeded_trace_from_reset(env_id):
+    """Both engines start from their OWN reset(seed) (no scene injection)
+    and must track each other over 6 policy steps — the round-1 trace
+    tests' injection shortcut is gone for the seeded families."""
+    import highway_env  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    from highwayenv_tpu.envs.base import EnvState
+
+    ref = gym.make(env_id)
+    tpu = ht.make(env_id)
+    seed = 2
+    ref.reset(seed=seed)
+    rng = seeding.np_random(seed)
+    veh = seeding.seeded_reset_state(tpu, rng).vehicles
+    state = EnvState(
+        vehicles=veh,
+        time=jnp.zeros((), jnp.float32),
+        steps=jnp.zeros((), jnp.int32),
+        key=jax.random.PRNGKey(0),
+    )
+    cont = not hasattr(tpu.action_type, "n")
+    r = np.random.default_rng(7)
+    for t in range(6):
+        if cont:
+            a = r.uniform(-0.5, 0.5, tpu.action_type.size)
+            ref.step(a)
+            _, state, *_ = tpu.step(state, jnp.asarray(a, jnp.float32))
+        else:
+            a = int(r.integers(0, tpu.action_type.n))
+            ref.step(a)
+            _, state, *_ = tpu.step(state, jnp.int32(a))
+        tol = 0.08 * (t + 1) ** 2  # f32-vs-f64 drift envelope (PARITY #7)
+        ours = np.asarray(state.vehicles.pos)
+        ego_slots = list(tpu.ego_slots)
+        free = [i for i in range(tpu.num_slots) if i not in set(tpu.ego_slots)]
+        controlled = set(id(v) for v in ref.unwrapped.controlled_vehicles)
+        objs = list(ref.unwrapped.road.vehicles) + list(
+            ref.unwrapped.road.objects
+        )
+        for v in objs:
+            slot = ego_slots.pop(0) if id(v) in controlled else free.pop(0)
+            d = float(np.max(np.abs(ours[slot] - v.position)))
+            assert d <= tol, (env_id, t, slot, d, tol)
