@@ -520,65 +520,10 @@ def frame_core(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
 
 
 # --------------------------------------------------------------------------- #
-# pallas wrapper
-# --------------------------------------------------------------------------- #
-
-
-def pallas_simulate(
-    env,
-    veh: VehicleState,
-    frames: int,
-    block: int = 128,
-    interpret: bool = False,
-) -> VehicleState:
-    """Run ``frames`` fast-path frames in one VMEM-resident pallas kernel.
-
-    ``veh`` arrays are (B, V) with B a multiple of ``block``.  Layout inside
-    the kernel is batch-minor: fields are (V, block) so the batch rides the
-    128-wide lane dimension and (V, V, block) pair matrices pad only
-    V -> 8-multiples on the sublane axis (vs 30x lane waste batch-major).
-    The per-env math is frame_core vmapped over the trailing axis; all
-    ``frames`` frames run per grid step so state stays VMEM-resident.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    fs = env._straight
-    p = env.idm_params
-    dt = env.dt
-    raw = getattr(env.action_type, "stores_raw_controls", False)
-    fdict = pack(veh)
-    names = [n for n, _ in FIELDS]
-    arrays = [fdict[n] for n in names]  # (B, V)
-    B, V = arrays[0].shape
-    assert B % block == 0, (B, block)
-
-    step_env = jax.vmap(
-        functools.partial(frame_core, fs, p, dt, raw),
-        in_axes=0,
-        out_axes=0,
-    )
-
-    def kernel(*refs):
-        ins = refs[: len(names)]
-        outs = refs[len(names):]
-        f = {n: r[:] for n, r in zip(names, ins)}
-        f = jax.lax.fori_loop(0, frames, lambda _, f: step_env(f), f)
-        for n, r in zip(names, outs):
-            r[:] = f[n]
-
-    out_shapes = [jax.ShapeDtypeStruct((B, V), a.dtype) for a in arrays]
-    grid = (B // block,)
-
-    def spec():
-        return pl.BlockSpec((block, V), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=out_shapes,
-        grid=grid,
-        in_specs=[spec() for _ in arrays],
-        out_specs=[spec() for _ in arrays],
-        interpret=interpret,
-    )(*arrays)
-    return unpack(dict(zip(names, outs)), veh)
+# NOTE (round 2): the batch-major pallas wrapper that lived here
+# (`pallas_simulate`, one (block, V) megakernel over all frames) is DELETED —
+# mosaic hangs indefinitely on batch-major (block, V, V) pair bodies, which
+# was round 1's unlanded-kernel failure.  The production TPU kernel is the
+# batch-minor variant in ops/straight_pallas_bm.py.  `frame_core` above is
+# kept as the flat-field reference implementation cross-validated against
+# the XLA fast path (tests/test_batched_step.py).

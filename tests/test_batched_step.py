@@ -26,7 +26,8 @@ def test_batched_step_matches_vmapped(env_id):
 
 
 def test_pallas_core_matches_fast_path():
-    from highwayenv_tpu.ops import straight_fast, straight_pallas
+    from highwayenv_tpu.ops import straight_fast
+    from highwayenv_tpu.ops.straight_pallas_bm import pallas_simulate_bm
 
     env = ht.make("highway-fast-v0")
     frames = (
@@ -39,12 +40,8 @@ def test_pallas_core_matches_fast_path():
 
     def pal_step(veh, actions):
         sa = jax.vmap(env._action_to_slots)(actions)
-        ego = veh.kind == straight_pallas.KIND_EGO
-        veh = jax.vmap(
-            lambda v, m, s: env.action_type.apply(env.geo, v, m, s)
-        )(veh, ego, sa)
-        return straight_pallas.pallas_simulate(
-            env, veh, frames, block=8, interpret=True
+        return pallas_simulate_bm(
+            env, veh, sa, frames, block=8, interpret=True
         )
 
     def ref_step(veh, actions):
