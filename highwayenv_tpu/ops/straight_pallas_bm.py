@@ -51,15 +51,21 @@ F32 = jnp.float32
 VEHICLE_LENGTH = 5.0
 
 # kernel-resident fields, all (V, block); f32 throughout (flags as 0/1,
-# lanes as small exact floats) so the kernel never touches int vectors
-BM_FIELDS = [
+# lanes as small exact floats) so the kernel never touches int vectors.
+# MUT fields change inside the frame loop; CONST fields are per-episode
+# attributes the kernel only reads — they get no output refs (quarter less
+# HBM/VMEM staging per call).
+BM_MUT_FIELDS = [
     "px", "py", "heading", "speed", "lane", "target_lane", "target_speed",
-    "timer", "delta", "kind", "length", "width", "crashed", "hit",
-    "impact_pending", "impact_x", "impact_y", "check_collisions",
-    "collidable", "enable_lane_change", "mobil_gain", "mobil_max_braking",
-    "accel_p0", "accel_p1", "accel_p2", "steer_p0", "steer_p1",
+    "timer", "crashed", "hit", "impact_pending", "impact_x", "impact_y",
     "steering", "accel",
 ]
+BM_CONST_FIELDS = [
+    "delta", "kind", "length", "width", "check_collisions", "collidable",
+    "enable_lane_change", "mobil_gain", "mobil_max_braking",
+    "accel_p0", "accel_p1", "accel_p2", "steer_p0", "steer_p1",
+]
+BM_FIELDS = BM_MUT_FIELDS + BM_CONST_FIELDS
 
 
 def pack_bm(veh: VehicleState) -> list:
@@ -593,14 +599,26 @@ def build_pallas_frame(
     body = functools.partial(_frame_body, fs, p, dt, raw, lean, has_linear)
     n = len(BM_FIELDS)
 
+    n_mut = len(BM_MUT_FIELDS)
+
     def kernel(*refs):
         f = {name: r[:] for name, r in zip(BM_FIELDS, refs[:n])}
         if frames == 1:
             out = body(f)
         else:
-            # whole policy step VMEM-resident: no HBM round trip per frame
-            out = jax.lax.fori_loop(0, frames, lambda _i, ff: body(ff), f)
-        for name, r in zip(BM_FIELDS, refs[n:]):
+            # whole policy step VMEM-resident: no HBM round trip per frame.
+            # the loop carry holds only the mutated fields
+            consts = {name: f[name] for name in BM_CONST_FIELDS}
+
+            def step(_i, mut):
+                return {
+                    name: body({**mut, **consts})[name]
+                    for name in BM_MUT_FIELDS
+                }
+
+            mut0 = {name: f[name] for name in BM_MUT_FIELDS}
+            out = jax.lax.fori_loop(0, frames, step, mut0)
+        for name, r in zip(BM_MUT_FIELDS, refs[n:]):
             r[:] = out[name]
 
     def frame(arrays):
@@ -609,15 +627,17 @@ def build_pallas_frame(
         spec = lambda: pl.BlockSpec(
             (V, block), lambda i: (0, i), memory_space=pltpu.VMEM
         )
-        return pl.pallas_call(
+        mut_out = pl.pallas_call(
             kernel,
-            out_shape=[jax.ShapeDtypeStruct((V, B), F32) for _ in range(n)],
+            out_shape=[
+                jax.ShapeDtypeStruct((V, B), F32) for _ in range(n_mut)
+            ],
             grid=grid,
             in_specs=[spec() for _ in range(n)],
-            out_specs=[spec() for _ in range(n)],
+            out_specs=[spec() for _ in range(n_mut)],
             # in-place state update: halves the HBM footprint and keeps the
             # scan carry out of scoped VMEM
-            input_output_aliases={i: i for i in range(n)},
+            input_output_aliases={i: i for i in range(n_mut)},
             compiler_params=None
             if interpret
             else pltpu.CompilerParams(
@@ -625,6 +645,7 @@ def build_pallas_frame(
             ),
             interpret=interpret,
         )(*arrays)
+        return list(mut_out) + list(arrays[n_mut:])
 
     return frame
 
