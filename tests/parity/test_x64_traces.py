@@ -30,6 +30,7 @@ CASES = [
     ("parking-v0", 0),
     ("u-turn-v0", 1),
     ("u-turn-v0", 2),
+    ("roundabout-v0", 0),  # fully-curved network, bit-exact at 5.7e-14
 ]
 
 
