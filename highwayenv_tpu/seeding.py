@@ -522,6 +522,65 @@ def _spawns_exit(env, rng):
     return objs
 
 
+def _random_lane_index(net, rng):
+    """RoadNetwork.random_lane_index (road/road.py:364-368)."""
+    order = graph_order(net)
+    _from = rng.choice(list(order.keys()))
+    _to = rng.choice(order[_from])
+    _id = int(rng.integers(len(net.lanes_on_edge(_from, _to))))
+    return (_from, _to, _id)
+
+
+def _spawns_racetrack(env, rng):
+    """RacetrackEnv._make_vehicles (envs/racetrack_env.py:374-426)."""
+    net = env.net
+    cfg = env.config
+    objs = []
+    lane_index = None
+    for i in range(cfg["controlled_vehicles"]):
+        lane_index = (
+            ("a", "b", int(rng.integers(2)))
+            if i == 0
+            else _random_lane_index(net, rng)
+        )
+        longitudinal = float(rng.uniform(20, 50))
+        v = _make_on_lane(
+            net, lane_index, longitudinal,
+            ctor=lambda net, p, heading=0.0, speed=0.0: _controlled(
+                env, net, p, heading, speed
+            ),
+        )
+        objs.append(v)
+
+    if cfg["other_vehicles"] > 0:
+        front = _make_on_lane(
+            net,
+            ("b", "c", lane_index[-1]),
+            longitudinal=float(
+                rng.uniform(0.0, net.get_lane(("b", "c", 0)).length)
+            ),
+            speed=6.0 + float(rng.uniform(high=3.0)),
+        )
+        objs.append(front)
+
+        for _ in range(int(rng.integers(cfg["other_vehicles"]))):
+            rand_lane = _random_lane_index(net, rng)
+            v = _make_on_lane(
+                net, rand_lane,
+                longitudinal=float(
+                    rng.uniform(0.0, net.get_lane(rand_lane).length)
+                ),
+                speed=6.0 + float(rng.uniform(high=3.0)),
+            )
+            # prevent early collisions (racetrack_env.py:420-425)
+            if all(
+                np.linalg.norm(v.position - np.asarray(o.position)) >= 20
+                for o in objs
+            ):
+                objs.append(v)
+    return objs
+
+
 def _spawn_vehicle_intersection(env, rng, vehicles, longitudinal=0.0,
                                 position_deviation=1.0, speed_deviation=1.0,
                                 spawn_probability=0.6, go_straight=False):
@@ -649,11 +708,20 @@ _BUILDERS = {
     "TwoWayEnv": _spawns_two_way,
     "UTurnEnv": _spawns_u_turn,
     "ExitEnv": _spawns_exit,
+    "RacetrackEnv": _spawns_racetrack,
 }
+
+
+# subclasses whose reference _make_vehicles DIFFERS from the parent they
+# inherit from here — the parent's draw replay would silently produce a
+# wrong seeded scene, so they fall back to the jax reset path
+_EXCLUDED = {"RacetrackEnvOval", "MergeGenericEnv", "RoundaboutGenericEnv"}
 
 
 def supports_seeded_reset(env) -> bool:
     for cls in type(env).__mro__:
+        if cls.__name__ in _EXCLUDED:
+            return False
         if cls.__name__ in _BUILDERS or cls.__name__ == "IntersectionEnv":
             return True
     return False
@@ -661,6 +729,8 @@ def supports_seeded_reset(env) -> bool:
 
 def _builder_for(env):
     for cls in type(env).__mro__:
+        if cls.__name__ in _EXCLUDED:
+            return None
         if cls.__name__ in _BUILDERS:
             return _BUILDERS[cls.__name__]
     return None

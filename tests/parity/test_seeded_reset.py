@@ -31,6 +31,8 @@ ENV_IDS = [
     "two-way-v0",
     "u-turn-v0",
     "exit-v0",
+    "racetrack-v0",
+    "racetrack-large-v0",
 ]
 
 
