@@ -522,6 +522,18 @@ def _spawns_exit(env, rng):
     return objs
 
 
+def _spawns_lane_keeping(env, rng):
+    """LaneKeepingEnv._make_vehicles (envs/lane_keeping_env.py:129-139):
+    fully deterministic (the generator is consumed only by the
+    AttributesObservation noise during stepping)."""
+    net = env.net
+    lane = net.get_lane(("c", "d", 0))
+    ego = _controlled(
+        env, net, lane.position(50, -4), heading=lane.heading_at(0), speed=8.3
+    )
+    return [ego]
+
+
 def _random_lane_index(net, rng):
     """RoadNetwork.random_lane_index (road/road.py:364-368)."""
     order = graph_order(net)
@@ -709,6 +721,7 @@ _BUILDERS = {
     "UTurnEnv": _spawns_u_turn,
     "ExitEnv": _spawns_exit,
     "RacetrackEnv": _spawns_racetrack,
+    "LaneKeepingEnv": _spawns_lane_keeping,
 }
 
 

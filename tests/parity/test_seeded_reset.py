@@ -33,6 +33,7 @@ ENV_IDS = [
     "exit-v0",
     "racetrack-v0",
     "racetrack-large-v0",
+    "lane-keeping-v0",
 ]
 
 
