@@ -31,6 +31,9 @@ CASES = [
     ("u-turn-v0", 1),
     ("u-turn-v0", 2),
     ("roundabout-v0", 0),  # fully-curved network, bit-exact at 5.7e-14
+    ("exit-v0", 1),
+    ("two-way-v0", 1),
+    ("parking-v0", 1),
 ]
 
 
