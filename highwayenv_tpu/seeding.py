@@ -15,9 +15,12 @@ The jitted ``jax.random`` reset path remains for high-throughput rollouts
 (PARITY #6); this host path backs the Gymnasium adapter and the parity
 suite.
 
-Supported scenario families: highway (+fast), merge, roundabout, parking,
+Supported: every registered id except racetrack-oval (whose parametric
+layout draws a host RNG for the road itself, PARITY #11) — highway
+(+fast), merge (+generic), roundabout (+generic), parking (+variants),
 intersection (incl. the 3 s warm-up, which consumes no draws in the
-reference and is simulated with the device engine), two-way, u-turn, exit.
+reference and is simulated with the device engine), two-way, u-turn,
+exit, racetrack (+large), lane-keeping.
 """
 
 from __future__ import annotations
@@ -522,6 +525,119 @@ def _spawns_exit(env, rng):
     return objs
 
 
+def _spawns_roundabout_generic(env, rng):
+    """RoundaboutGenericEnv._make_vehicles (envs/roundabout_env.py:600+):
+    rejection-sampled spawns over fixed spawn edges; draw order per try is
+    integers(edge), integers(lane), uniform(longitudinal); on success
+    normal(speed), [integers(destination)], then randomize DELTA."""
+    cfg = env.config
+    net = env.net
+    destinations = ["exr", "sxr", "nxr", "wxr"]
+    objs = []
+    ego_lane = net.get_lane(("ser", "ses", 0))
+    ego_long = ego_lane.length - 2.5
+    ego = _controlled(
+        env, net, ego_lane.position(ego_long, 0.0), speed=8.0,
+        heading=ego_lane.heading_at(ego_long),
+    )
+    ego.route = plan_route_to(net, ego.lane_index, "nxs")
+    objs.append(ego)
+
+    spawn_lanes = [
+        ("we", "sx"), ("sx", "se"), ("ee", "nx"), ("nx", "ne"),
+        ("eer", "ees"), ("ner", "nes"), ("wer", "wes"),
+    ]
+    points = [np.asarray(ego_lane.position(ego_long, 0.0))]
+    for _ in range(cfg["vehicles_count"]):
+        for _ in range(10):
+            lt = spawn_lanes[int(rng.integers(0, len(spawn_lanes)))]
+            li = int(rng.integers(0, len(net.lanes_on_edge(*lt))))
+            lane_id = (lt[0], lt[1], li)
+            lane = net.get_lane(lane_id)
+            lon = float(rng.uniform(5.0, max(5.0, lane.length - 5.0)))
+            cand = np.asarray(lane.position(lon, 0.0))
+            if any(np.linalg.norm(cand - pt) < 7.0 for pt in points):
+                continue
+            v = _make_on_lane(
+                net, lane_id, longitudinal=lon,
+                speed=14.0 + float(rng.normal()) * 2.0,
+            )
+            if cfg.get("incoming_vehicle_destination") is not None:
+                dest = destinations[
+                    min(
+                        cfg["incoming_vehicle_destination"],
+                        len(destinations) - 1,
+                    )
+                ]
+            else:
+                dest = destinations[int(rng.integers(0, len(destinations)))]
+            v.route = plan_route_to(net, v.lane_index, dest)
+            _randomize_idm(v, rng)
+            objs.append(v)
+            points.append(cand)
+            break
+    return objs
+
+
+def _spawns_merge_generic(env, rng):
+    """MergeGenericEnv._make_vehicles (envs/merge_env.py:320-368):
+    rejection-sampled NPC spawns (10 tries each, 15 m clearance) with a
+    strict draw order — integers(lane), uniform(position), and
+    uniform(speed) only on success."""
+    cfg = env.config
+    net = env.net
+    lanes = cfg["lanes_count"]
+    vc = cfg["vehicles_count"]
+    max_pos = (
+        cfg["before_merge_length"]
+        + cfg["converge_merge_length"]
+        + cfg["parallel_merge_length"]
+    )
+    objs = []
+    ego_long = 30.0
+    ego = _controlled(
+        env, net,
+        net.get_lane(("a", "b", lanes - 1)).position(ego_long, 0.0),
+        speed=30.0,
+    )
+    objs.append(ego)
+
+    spawned = {i: [] for i in range(lanes)}
+    spawned[lanes - 1].append(ego_long)
+    n = 0
+    for _ in range(vc):
+        for _ in range(10):
+            li = int(rng.integers(lanes))
+            lon = float(rng.uniform(0, max_pos))
+            if all(abs(lon - p) > 15.0 for p in spawned[li]):
+                spd = 30.0 + float(rng.uniform(-2.0, 2.0))
+                v = _idm(
+                    net, net.get_lane(("a", "b", li)).position(lon, 0.0),
+                    speed=spd,
+                )
+                v.slot = 1 + n
+                n += 1
+                spawned[li].append(lon)
+                objs.append(v)
+                break
+
+    merging = _idm(
+        net, net.get_lane(("j", "k", 0)).position(ego_long + 30.0, 0.0),
+        speed=20.0, target_speed=30.0,
+    )
+    merging.slot = 1 + vc
+    objs.append(merging)
+    opos = np.asarray(env._obstacle_pos, np.float64)
+    objs.append(
+        HostVehicle(
+            kind=KIND_OBSTACLE, position=opos, length=2.0, width=2.0,
+            lane_index=closest_lane_index(net, opos, 0.0),
+            slot=2 + vc,
+        )
+    )
+    return objs
+
+
 def _spawns_lane_keeping(env, rng):
     """LaneKeepingEnv._make_vehicles (envs/lane_keeping_env.py:129-139):
     fully deterministic (the generator is consumed only by the
@@ -722,13 +838,15 @@ _BUILDERS = {
     "ExitEnv": _spawns_exit,
     "RacetrackEnv": _spawns_racetrack,
     "LaneKeepingEnv": _spawns_lane_keeping,
+    "MergeGenericEnv": _spawns_merge_generic,
+    "RoundaboutGenericEnv": _spawns_roundabout_generic,
 }
 
 
 # subclasses whose reference _make_vehicles DIFFERS from the parent they
 # inherit from here — the parent's draw replay would silently produce a
 # wrong seeded scene, so they fall back to the jax reset path
-_EXCLUDED = {"RacetrackEnvOval", "MergeGenericEnv", "RoundaboutGenericEnv"}
+_EXCLUDED = {"RacetrackEnvOval"}
 
 
 def supports_seeded_reset(env) -> bool:

@@ -34,6 +34,8 @@ ENV_IDS = [
     "racetrack-v0",
     "racetrack-large-v0",
     "lane-keeping-v0",
+    "merge-generic-v0",
+    "roundabout-generic-v0",
 ]
 
 
