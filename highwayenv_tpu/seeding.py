@@ -742,6 +742,7 @@ def scene_to_state(env, objs, dtype=None):
 
     ``dtype`` (default float32) sets the float dtype of the produced state;
     pass jnp.float64 under JAX_ENABLE_X64 for full-precision parity runs."""
+    import jax
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
@@ -801,7 +802,7 @@ def scene_to_state(env, objs, dtype=None):
                 arr["route_id"][i, j] = -1 if lid is None else int(lid)
             arr["route_len"][i] = len(v.route)
 
-    return st.replace(
+    st = st.replace(
         pos=jnp.asarray(arr["pos"], dtype),
         heading=jnp.asarray(arr["heading"], dtype),
         speed=jnp.asarray(arr["speed"], dtype),
@@ -821,6 +822,11 @@ def scene_to_state(env, objs, dtype=None):
         route_n=jnp.asarray(arr["route_n"]),
         route_id=jnp.asarray(arr["route_id"]),
         route_len=jnp.asarray(arr["route_len"]),
+    )
+    # uniform float dtype across the whole pytree (impact, accel, params, ...)
+    # so downstream scans see a consistent carry under JAX_ENABLE_X64
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, st
     )
 
 
@@ -910,7 +916,7 @@ def seeded_reset(env, rng):
     return env._observe(state), state
 
 
-def _seeded_intersection_vehicles(env, rng):
+def _seeded_intersection_vehicles(env, rng, dtype=None):
     """IntersectionEnv._make_vehicles draw replay
     (envs/intersection_env.py:255-322): initial spawns -> 3 s device warm-up
     (no draws in the reference) -> challenger -> controlled vehicles."""
@@ -923,22 +929,35 @@ def _seeded_intersection_vehicles(env, rng):
     net = env.net
     n_vehicles = cfg["initial_vehicle_count"]
 
+    import jax.numpy as _jnp
+
+    dtype = dtype or _jnp.float32
     vehicles = []
     for t in range(n_vehicles - 1):
+        # NOTE: the reference's initial population uses _spawn_vehicle's
+        # DEFAULT spawn_probability=0.6, not config["spawn_probability"]
+        # (intersection_env.py:269-270 vs :139) — config only gates the
+        # in-episode spawns.
         _spawn_vehicle_intersection(
             env, rng, vehicles,
             longitudinal=float(np.linspace(0, 80, n_vehicles)[t]),
-            spawn_probability=cfg["spawn_probability"],
         )
 
-    veh = scene_to_state(env, vehicles)
-    # 3 s warm-up on the device engine (consumes no generator draws in the
+    veh = scene_to_state(env, vehicles, dtype=dtype)
+    if dtype == _jnp.float64:
+        # x64 canonical carry: ops promote ints to i64 under JAX_ENABLE_X64,
+        # so the warm-up scan's carry must start at i64 as well
+        veh = jax.tree.map(
+            lambda x: x.astype(_jnp.int64) if x.dtype == _jnp.int32 else x,
+            veh,
+        )
+    # 3 s warm-up on the device engine (consumes no draws in the
     # reference: vehicles hold explicit routes, so no next_lane choices fire)
     warmup = 3 * cfg["simulation_frequency"]
     W = veh.num_slots
     zero_actions = jnp.zeros(
         (W,) + tuple(getattr(env.action_type, "action_shape", ())),
-        jnp.float32 if getattr(env.action_type, "action_shape", ()) else jnp.int32,
+        dtype if getattr(env.action_type, "action_shape", ()) else jnp.int32,
     )
     veh = jax.jit(
         lambda v: env._run_frames_static(v, zero_actions, warmup, steps0=0)
@@ -963,7 +982,7 @@ def _seeded_intersection_vehicles(env, rng):
     arr_set = lambda a, i, v: a.at[i].set(v)
     if challenger is not None:
         slot = int(np.argmax(kind_np[: env._n_npc] == KIND_PAD))
-        one = scene_to_state(env, [challenger])
+        one = scene_to_state(env, [challenger], dtype=dtype)
         # copy slot 0 of `one` (first free slot there) into `slot`
         src = 0
         veh = veh.replace(
@@ -998,7 +1017,7 @@ def _seeded_intersection_vehicles(env, rng):
         speed = float(lane.speed_limit)
         glane = net.global_lane_index(lane_index)
         veh = veh.replace(
-            pos=veh.pos.at[slot].set(jnp.asarray(pos, jnp.float32)),
+            pos=veh.pos.at[slot].set(jnp.asarray(pos, dtype)),
             heading=arr_set(veh.heading, slot, heading),
             speed=arr_set(veh.speed, slot, speed),
             lane=arr_set(veh.lane, slot, glane),
@@ -1020,7 +1039,7 @@ def _seeded_intersection_vehicles(env, rng):
                 route_len=arr_set(veh.route_len, slot, rlen[corner, dest]),
             )
         # prevent early collisions (intersection_env.py:316-322)
-        d = jnp.linalg.norm(veh.pos - jnp.asarray(pos, jnp.float32)[None, :], axis=-1)
+        d = jnp.linalg.norm(veh.pos - jnp.asarray(pos, dtype)[None, :], axis=-1)
         drop = (veh.kind != KIND_PAD) & (veh.kind != KIND_EGO) & (d < 20.0)
         veh = veh.replace(kind=jnp.where(drop, KIND_PAD, veh.kind))
     return veh

@@ -8,7 +8,10 @@ same spawn draws, same controllers, same IDM/MOBIL decisions).
 Known exclusion: u-turn seeds 0 and 3 hit a same-frame lane-change
 interaction where the reference's sequential vehicle loop and the engine's
 parallel decision pass legitimately differ (PARITY.md #1); seeds 1-2 are
-exact.  Marked slow: each case pays a fresh-process x64 compile.
+exact.  Intersection seeds 1/3 carry amplified-but-bounded float noise from
+a near-tie IDM interaction (worst ~1e-3 m over 30 steps, no decision flip);
+seeds 0/2/4 are tight.  Marked slow: each case pays a fresh-process x64
+compile.
 """
 
 from __future__ import annotations
@@ -34,6 +37,10 @@ CASES = [
     ("exit-v0", 1),
     ("two-way-v0", 1),
     ("parking-v0", 1),
+    # regulated intersection: f64 device warm-up + RegulatedRoad step path
+    ("intersection-v0", 0),
+    ("intersection-v0", 2),
+    ("intersection-v0", 4),
 ]
 
 

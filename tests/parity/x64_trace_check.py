@@ -40,17 +40,28 @@ def main(env_id: str, steps: int, seed: int, atol_per_t: float) -> int:
     from highwayenv_tpu import seeding
     from highwayenv_tpu.envs.base import EnvState
 
-    ref = gym.make(env_id)
+    cfg = {"spawn_probability": 0.0} if "intersection" in env_id else None
+    ref = gym.make(env_id, config=cfg) if cfg else gym.make(env_id)
     ref.reset(seed=seed)
 
-    env = ht.make(env_id)
+    env = ht.make(env_id, cfg) if cfg else ht.make(env_id)
     # float64 lane tables (the build is float64 host math throughout;
     # only the final cast changes)
     env.geo = env.net.build(dtype=np.float64)
 
     rng = seeding.np_random(seed)
-    builder = seeding._builder_for(env)
-    veh = seeding.scene_to_state(env, builder(env, rng), dtype=jnp.float64)
+    is_intersection = any(
+        cls.__name__ == "IntersectionEnv" for cls in type(env).__mro__
+    )
+    if is_intersection:
+        # float64 device warm-up against the reference's float64 Python
+        # warm-up: the regulated path's full step math under test
+        veh = seeding._seeded_intersection_vehicles(
+            env, rng, dtype=jnp.float64
+        )
+    else:
+        builder = seeding._builder_for(env)
+        veh = seeding.scene_to_state(env, builder(env, rng), dtype=jnp.float64)
 
     # x64-canonical state: all floats f64, ints i64 (ops promote under x64)
     def up(x):
@@ -64,7 +75,7 @@ def main(env_id: str, steps: int, seed: int, atol_per_t: float) -> int:
     state = EnvState(
         vehicles=veh,
         time=jnp.zeros((), jnp.float64),
-        steps=jnp.zeros((), jnp.int32),
+        steps=jnp.full((), env._initial_steps, jnp.int32),
         key=jax.random.PRNGKey(seed),
     )
 
@@ -76,6 +87,31 @@ def main(env_id: str, steps: int, seed: int, atol_per_t: float) -> int:
         actions = r.uniform(-0.6, 0.6, (steps, env.action_type.size))
         to_act = lambda a: jnp.asarray(a, jnp.float64)
 
+    # slot mapping established once at t=0.  Default: scene order == list
+    # order with egos at ego_slots.  Intersection: slot-recycled spawns and
+    # near-collision drops reorder slots, so map by nearest initial position.
+    slot_of: dict[int, int] = {}
+    objs0 = list(ref.unwrapped.road.vehicles) + list(ref.unwrapped.road.objects)
+    pos0 = np.asarray(state.vehicles.pos)
+    if is_intersection:
+        kind0 = np.asarray(state.vehicles.kind)
+        live = [i for i in range(env.num_slots) if kind0[i] != 0]
+        for v in objs0:
+            d = np.linalg.norm(pos0[live] - np.asarray(v.position), axis=-1)
+            j = int(np.argmin(d))
+            if d[j] > 1e-3:
+                print(f"FAIL {env_id} seed={seed} t=init unmatched spawn d={d[j]:.3e}")
+                return 1
+            slot_of[id(v)] = live.pop(j)
+    else:
+        ego_slots = list(env.ego_slots)
+        free = [i for i in range(env.num_slots) if i not in set(env.ego_slots)]
+        controlled = set(id(v) for v in ref.unwrapped.controlled_vehicles)
+        for v in objs0:
+            slot_of[id(v)] = (
+                ego_slots.pop(0) if id(v) in controlled else free.pop(0)
+            )
+
     worst = 0.0
     for t in range(steps):
         a = actions[t]
@@ -85,17 +121,11 @@ def main(env_id: str, steps: int, seed: int, atol_per_t: float) -> int:
             ref.unwrapped.road.objects
         )
         ours = np.asarray(state.vehicles.pos)
-        # slot mapping: scene order == list order with egos at ego_slots
-        ego_slots = list(env.ego_slots)
-        free = [
-            i for i in range(env.num_slots) if i not in set(env.ego_slots)
-        ]
-        controlled = set(id(v) for v in ref.unwrapped.controlled_vehicles)
         tol = atol_per_t * (t + 1)
         for v in objs:
-            slot = (
-                ego_slots.pop(0) if id(v) in controlled else free.pop(0)
-            )
+            slot = slot_of.get(id(v))
+            if slot is None:
+                continue  # spawned mid-episode (frozen configs: unreachable)
             d = float(np.max(np.abs(ours[slot] - v.position)))
             worst = max(worst, d)
             if d > tol:
