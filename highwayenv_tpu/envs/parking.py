@@ -26,6 +26,9 @@ from highwayenv_tpu.vehicle.state import (
 
 
 class ParkingEnv(BaseEnv):
+    # reference sets an explicit ego color attribute (parking_env.py:193)
+    ego_color = (50, 200, 0)
+
     @classmethod
     def default_config(cls) -> dict:
         config = super().default_config()

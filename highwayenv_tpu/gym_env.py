@@ -122,6 +122,19 @@ class GymEnv(gymnasium.Env):
 
         if self._state is None:
             raise RuntimeError("reset() must be called before render()")
+        if self.config.get("render_backend") == "pygame":
+            # pixel-exact reference pipeline (pygame_render.py); the numpy
+            # rasterizer below stays the dependency-light default
+            from highwayenv_tpu.pygame_render import PygameFrameRenderer
+
+            if getattr(self, "_pygame_renderer", None) is None:
+                self._pygame_renderer = PygameFrameRenderer(
+                    self.env,
+                    self.config["screen_width"],
+                    self.config["screen_height"],
+                )
+            self._pygame_renderer.display(self._state)
+            return self._pygame_renderer.get_image()
         if self.config.get("show_trajectories"):
             # per-slot pose history for trajectory ghosts
             # (vehicle/graphics.py:146-171; Vehicle.history deque(30))

@@ -49,6 +49,7 @@ class GrayscaleObservation:
         weights,
         scaling: float | None = None,
         centering_position=None,
+        backend: str = "rasterizer",
         **kwargs,
     ):
         self.env = env
@@ -62,6 +63,46 @@ class GrayscaleObservation:
         )
         w = self.weights
         self.gray = {k: float(np.dot(c, w)) for k, c in _COLORS.items()}
+        # "pygame" backend: host-side pixel-exact frames via the reference's
+        # own draw pipeline (pygame_render.py) — for transferring
+        # reference-trained pixel agents.  Default stays the in-jit
+        # TPU-resident rasterizer below.
+        if backend not in ("rasterizer", "pygame"):
+            raise ValueError(f"unknown grayscale backend {backend!r}")
+        self.backend = backend
+        if backend == "pygame":
+            self.host_side = True        # instance attrs shadow the class
+            self.stateful_stack = False  # defaults used by the jit path
+            self._renderer = None
+            self._host_stack = np.zeros(self.shape, np.uint8)
+
+    # ---------------- pygame-exact host path ------------------------------ #
+    def reset_stack(self) -> None:
+        self._host_stack = np.zeros(self.shape, np.uint8)
+
+    def observe_host(self, env, state) -> np.ndarray:
+        """Reference GrayscaleObservation.observe: render the viewer frame,
+        convert with the RGB weights, roll the stack
+        (envs/common/observation.py:101-112)."""
+        from highwayenv_tpu.pygame_render import PygameFrameRenderer
+
+        if self._renderer is None:
+            self._renderer = PygameFrameRenderer(
+                env,
+                self.observation_shape[0],
+                self.observation_shape[1],
+                scaling=self.scaling,
+                centering=self.centering,
+            )
+        self._renderer.display(state)
+        raw_rgb = self._renderer.get_image()  # H x W x C
+        raw_rgb = np.moveaxis(raw_rgb, 0, 1)
+        frame = (
+            np.dot(raw_rgb[..., :3], self.weights).clip(0, 255).astype(np.uint8)
+        )
+        self._host_stack = np.roll(self._host_stack, -1, axis=0)
+        self._host_stack[-1, :, :] = frame
+        return self._host_stack
 
     def space(self):
         from gymnasium import spaces
