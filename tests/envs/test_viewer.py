@@ -4,7 +4,10 @@ import os
 
 import numpy as np
 
-os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+# "offscreen", not "dummy": the reference's pygame pipeline (used as the
+# oracle by tests/parity/test_pygame_render.py, which may run in the same
+# process) renders all-black frames under the dummy driver.
+os.environ.setdefault("SDL_VIDEODRIVER", "offscreen")
 os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
 
 from highwayenv_tpu.gym_env import GymEnv

@@ -25,6 +25,20 @@ gym = pytest.importorskip("gymnasium")
 pytest.importorskip("highway_env")
 pytest.importorskip("pygame")
 
+
+@pytest.fixture(autouse=True)
+def _force_offscreen_sdl_driver():
+    """The reference oracle renders all-black frames under SDL's "dummy"
+    driver.  If an earlier test initialized the display with any other
+    driver, quit it so the next ``pygame.display.init()`` (inside
+    PygameFrameRenderer / the reference viewer) picks up "offscreen"."""
+    import pygame
+
+    os.environ["SDL_VIDEODRIVER"] = "offscreen"
+    if pygame.display.get_init() and pygame.display.get_driver() != "offscreen":
+        pygame.display.quit()
+    yield
+
 import jax
 import jax.numpy as jnp
 
