@@ -109,15 +109,42 @@ def _lane_points(lane, lat, s0, s1, n=None):
         return np.zeros((0, 2))
     n = n or max(2, int(s1 - s0) + 1)
     s = np.linspace(s0, s1, n)
+    return _positions_at(lane, s, lat)
+
+
+def _positions_at(lane, s, lat):
+    """Vectorized host lane.position over an array of arc lengths."""
+    n = len(s)
     try:
         pts = np.asarray(lane.position(s[:, None], float(lat)), float)
         if pts.shape == (n, 2):
             return pts
+        if pts.shape == (n, 1, 2):  # lanes that broadcast on the last axis
+            return pts[:, 0, :]
     except Exception:
         pass
     return np.stack(
         [np.asarray(lane.position(float(si), float(lat)), float) for si in s]
     )
+
+
+def _draw_lane_line(img, cam, lane, lat, s0, s1, color, dashed=False):
+    """Stamp a lane-parallel line in ONE vectorized pass: arc lengths at
+    ~1 px spacing (optionally masked to the 3 m / 4.33 m stripe pattern,
+    phase-locked to s=0 like road/graphics.py:113-180), one host
+    ``lane.position`` call, one pixel scatter."""
+    if s1 <= s0:
+        return
+    step = max(1.0 / cam.scaling, 1e-3)  # ~1 px along the arc, in meters
+    s = np.arange(s0, s1, step)
+    if len(s) == 0:
+        return
+    if dashed:
+        s = s[np.mod(s, STRIPE_SPACING) < STRIPE_LENGTH]
+        if len(s) == 0:
+            return
+    px, py = cam.to_px(_positions_at(lane, s, lat))
+    _draw_points(img, px, py, color)
 
 
 def _visible_s_window(lane, cam_center, cam):
@@ -159,23 +186,15 @@ def render_rgb(env, state, history=None) -> np.ndarray:
         if s1 <= s0:
             continue
         # darker road band
-        band = _lane_points(lane, 0.0, s0, s1)
-        _draw_polyline(img, cam, band, BLACK)
+        _draw_lane_line(img, cam, lane, 0.0, s0, s1, BLACK)
         for side, lat in ((0, -half), (1, half)):
             lt = int(line_types[li, side])
             if lt == 0:
                 continue
-            if lt == 1:  # striped: 3 m dashes at 4.33 m spacing
-                s = np.floor(s0 / STRIPE_SPACING) * STRIPE_SPACING
-                while s < s1:
-                    e = min(s + STRIPE_LENGTH, s1)
-                    if e > max(s, s0):
-                        seg = _lane_points(lane, lat, max(s, s0), e)
-                        _draw_polyline(img, cam, seg, WHITE)
-                    s += STRIPE_SPACING
-            else:  # continuous
-                pts = _lane_points(lane, lat, s0, s1)
-                _draw_polyline(img, cam, pts, WHITE)
+            # striped (lt=1): 3 m dashes at 4.33 m spacing; else continuous
+            _draw_lane_line(
+                img, cam, lane, lat, s0, s1, WHITE, dashed=(lt == 1)
+            )
 
     # trajectory ghosts: faded rectangles at past poses
     # (vehicle/graphics.py:146-171 display_history, every 5th frame)

@@ -154,10 +154,11 @@ class CircularLane:
             self.line_types = [LineType.STRIPED, LineType.STRIPED]
 
     def position(self, s, lat):
-        phi = self.direction * s / self.radius + self.start_phase
-        return self.center + (self.radius - lat * self.direction) * np.array(
-            [np.cos(phi), np.sin(phi)]
-        )
+        phi = self.direction * np.asarray(s, np.float64) / self.radius + self.start_phase
+        # stack on the LAST axis so vector s broadcasts ((n, 1) -> (n, 1, 2));
+        # scalar s keeps the original (2,) result
+        pts = np.stack([np.cos(phi), np.sin(phi)], axis=-1)
+        return self.center + (self.radius - lat * self.direction) * pts
 
     def heading_at(self, s):
         phi = self.direction * s / self.radius + self.start_phase
