@@ -149,9 +149,26 @@ class KinematicsObservation:
 
         # stable sort by |lane_dist| (reference sorted(); road.py:446-449)
         sort_key = jnp.where(ok, jnp.abs(lane_dist), jnp.inf)
-        order = jnp.argsort(sort_key, axis=-1, stable=True)
         count = self.vehicles_count - 1
-        sel = order[..., :count]
+        if count <= 8:
+            # iterative masked argmin: k tiny reductions instead of a
+            # V-wide bitonic sort.  Observationally identical: argmin
+            # returns the FIRST minimum (= stable argsort's index
+            # tie-break) so every finite-key (valid) row is picked in the
+            # same order; picks from the all-inf tail may differ from
+            # argsort's (even repeat), but those rows are zeroed by
+            # sel_ok / row_ok in both paths.
+            key_left = sort_key
+            picks = []
+            for _ in range(min(count, V)):  # argsort path also caps at V
+                j = jnp.argmin(key_left, axis=-1)
+                picks.append(j)
+                key_left = jnp.where(
+                    jnp.arange(V) == j[..., None], jnp.inf, key_left
+                )
+            sel = jnp.stack(picks, axis=-1)
+        else:
+            sel = jnp.argsort(sort_key, axis=-1, stable=True)[..., :count]
         sel_ok = jnp.take_along_axis(ok, sel, axis=-1)
 
         cols = self._feature_table(geo, state)

@@ -18,17 +18,32 @@ from highwayenv_tpu.render import render_rgb
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
-env = ht.make("highway-fast-v0")
-_, state = env.reset(jax.random.PRNGKey(0))
-step = jax.jit(env.step)
-
-# rgb_array rasterizer
-t0 = time.perf_counter()
-for i in range(N):
-    frame = render_rgb(env, state)
-    _, state, *_ = step(state, jnp.int32(1))
-dt = time.perf_counter() - t0
-print(f"render_rgb (600x150): {N/dt:,.1f} fps")
+# rgb_array rasterizer across scenario families (the reference harness
+# sweeps highway / intersection / roundabout / merge / racetrack)
+for env_id in (
+    "highway-fast-v0",
+    "highway-v0",
+    "intersection-v0",
+    "roundabout-v0",
+    "merge-v0",
+    "racetrack-v0",
+):
+    env = ht.make(env_id)
+    _, state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    a = (
+        jnp.int32(1)
+        if hasattr(env.action_type, "n")
+        else jnp.zeros(env.action_type.action_shape, jnp.float32)
+    )
+    render_rgb(env, state)  # warm host path
+    _, state, *_ = step(state, a)  # compile
+    t0 = time.perf_counter()
+    for i in range(N):
+        frame = render_rgb(env, state)
+        _, state, *_ = step(state, a)
+    dt = time.perf_counter() - t0
+    print(f"render_rgb {env_id} ({frame.shape[1]}x{frame.shape[0]}): {N/dt:,.1f} fps")
 
 # jitted grayscale pipeline (obs shape 128x64, stack 4)
 genv = ht.make(
