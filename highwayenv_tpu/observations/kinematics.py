@@ -150,26 +150,33 @@ class KinematicsObservation:
         # stable sort by |lane_dist| (reference sorted(); road.py:446-449)
         sort_key = jnp.where(ok, jnp.abs(lane_dist), jnp.inf)
         count = self.vehicles_count - 1
-        if count <= 8:
+        if 0 < count <= 8:
             # iterative masked argmin: k tiny reductions instead of a
             # V-wide bitonic sort.  Observationally identical: argmin
             # returns the FIRST minimum (= stable argsort's index
             # tie-break) so every finite-key (valid) row is picked in the
-            # same order; picks from the all-inf tail may differ from
-            # argsort's (even repeat), but those rows are zeroed by
-            # sel_ok / row_ok in both paths.
+            # same order.  Once valid rows run out, argmin re-picks from
+            # the masked/inf pool — validity must therefore come from the
+            # key AT PICK TIME (finite = fresh valid row), NOT from
+            # ok[sel], or a re-picked valid row would duplicate instead
+            # of zeroing as padding.
             key_left = sort_key
-            picks = []
+            picks, valid = [], []
             for _ in range(min(count, V)):  # argsort path also caps at V
                 j = jnp.argmin(key_left, axis=-1)
                 picks.append(j)
+                valid.append(
+                    jnp.take_along_axis(key_left, j[..., None], axis=-1)[..., 0]
+                    < jnp.inf
+                )
                 key_left = jnp.where(
                     jnp.arange(V) == j[..., None], jnp.inf, key_left
                 )
             sel = jnp.stack(picks, axis=-1)
+            sel_ok = jnp.stack(valid, axis=-1)
         else:
             sel = jnp.argsort(sort_key, axis=-1, stable=True)[..., :count]
-        sel_ok = jnp.take_along_axis(ok, sel, axis=-1)
+            sel_ok = jnp.take_along_axis(ok, sel, axis=-1)
 
         cols = self._feature_table(geo, state)
         feats = jnp.stack([cols[f] for f in self.features], axis=-1)  # (V,F)
@@ -194,8 +201,10 @@ class KinematicsObservation:
             obs = self._normalize(geo, state, ego, obs)
         # zero out padding rows *after* normalization (reference pads with
         # zero rows post-normalization, observation.py:264-269)
+        # explicit (..., 1) ones for the ego row: deriving it from
+        # sel_ok[..., :1] collapses to zero rows when vehicles_count == 1
         row_ok = jnp.concatenate(
-            [jnp.ones_like(sel_ok[..., :1]), sel_ok], axis=-1
+            [jnp.ones(sel_ok.shape[:-1] + (1,), bool), sel_ok], axis=-1
         )
         obs = jnp.where(row_ok[..., None], obs, 0.0)
         if self.order == "shuffled" and key is not None:

@@ -101,17 +101,6 @@ def _fill_rect(img, cam, center, length, width, heading, color):
     img[gy[inside], gx[inside]] = color
 
 
-def _lane_points(lane, lat, s0, s1, n=None):
-    """Sample points on the VISIBLE arc range [s0, s1] using the host
-    (pure-numpy) lane object — the compiled jnp lane kernels dispatch
-    eagerly here and made rendering ~100x slower than needed."""
-    if s1 <= s0:
-        return np.zeros((0, 2))
-    n = n or max(2, int(s1 - s0) + 1)
-    s = np.linspace(s0, s1, n)
-    return _positions_at(lane, s, lat)
-
-
 def _positions_at(lane, s, lat):
     """Vectorized host lane.position over an array of arc lengths."""
     n = len(s)

@@ -1,5 +1,3 @@
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 #!/usr/bin/env python
 """Fully-jitted PPO on a sharded env batch — the production training shape.
 
@@ -10,19 +8,26 @@ function over a `jax.sharding.Mesh`-sharded batch of envs.  Zero host
 round-trips inside the training loop; gradients are reduced across devices
 by XLA collectives inserted for the sharded mean.
 
-Run (CPU smoke):
-  JAX_PLATFORMS=cpu python scripts/train_ppo.py --updates 2 --batch 64 \
-      --horizon 8
+Run (CPU smoke; --platform cpu is required, env vars are overridden by the
+container's sitecustomize):
+  python scripts/train_ppo.py --updates 2 --batch 64 --horizon 8 \
+      --platform cpu
 """
 
 import argparse
+import os as _os
+import sys as _sys
 import time
 
 import numpy as np
 
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 
 def build_update(env, args, n_actions, obs_dim, B):
-    """Returns (init_params, update_fn); update_fn is jittable end-to-end."""
+    """Returns (init_params, opt, update); update is jittable end-to-end."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -61,11 +66,12 @@ def build_update(env, args, n_actions, obs_dim, B):
             logp = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), a[:, None], axis=-1
             )[:, 0]
-            _, states2, r, term, trunc, _ = jax.vmap(env.step_autoreset)(
+            # batched step: batch-minor / pallas fast path on straight
+            # networks, vmap fallback elsewhere (envs/base.py:783)
+            _, states2, r, term, trunc, _ = env.step_autoreset_batched(
                 states, a
             )
-            done = jnp.logical_or(term, trunc)
-            return states2, (obs, a, logp, value, r, done)
+            return states2, (obs, a, logp, value, r, term, trunc)
 
         states, traj = jax.lax.scan(
             body, states, jax.random.split(key, args.horizon)
@@ -74,19 +80,28 @@ def build_update(env, args, n_actions, obs_dim, B):
         _, final_value = net(params, final_obs)
         return states, traj, final_value
 
-    def gae(values, rewards, dones, final_value):
-        """Generalised advantage estimation, reverse scan over T."""
+    def gae(values, rewards, terms, truncs, final_value):
+        """Generalised advantage estimation, reverse scan over T.
+
+        Timeout handling (SB3's handle_timeout_termination analogue): a
+        TRUNCATED episode still has value past the cut, but the next
+        state in the buffer belongs to a new episode (autoreset), so the
+        GAE recursion is cut at every done and the bootstrap for
+        truncated steps uses V(s_t) — the env does not expose the
+        pre-reset final observation, and V(s_{t+1}) ~= V(s_t) is far
+        less biased than the 0 a termination would use."""
 
         def body(carry, xs):
-            v, r, d = xs
-            nonterminal = 1.0 - d.astype(jnp.float32)
-            delta = r + args.gamma * carry["next_v"] * nonterminal - v
-            adv = delta + args.gamma * args.lam * nonterminal * carry["adv"]
+            v, r, term, trunc = xs
+            done = jnp.logical_or(term, trunc).astype(jnp.float32)
+            boot = jnp.where(trunc & ~term, v, carry["next_v"] * (1.0 - done))
+            delta = r + args.gamma * boot - v
+            adv = delta + args.gamma * args.lam * (1.0 - done) * carry["adv"]
             return {"next_v": v, "adv": adv}, adv
 
         init = {"adv": jnp.zeros_like(final_value), "next_v": final_value}
         _, advs = jax.lax.scan(
-            body, init, (values, rewards, dones), reverse=True
+            body, init, (values, rewards, terms, truncs), reverse=True
         )
         return advs
 
@@ -111,8 +126,8 @@ def build_update(env, args, n_actions, obs_dim, B):
     def update(params, opt_state, states, key):
         k_roll, k_perm = jax.random.split(key)
         states, traj, final_value = rollout(params, states, k_roll)
-        obs, a, logp, value, r, done = traj
-        adv = gae(value, r, done, final_value)
+        obs, a, logp, value, r, term, trunc = traj
+        adv = gae(value, r, term, trunc, final_value)
         ret = adv + value
 
         # flatten (T, B) -> (T*B,) and run K epochs of minibatches
