@@ -183,6 +183,14 @@ def main(argv=None):
     p.add_argument("--vf-coef", type=float, default=0.5)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--platform", default=None)
+    p.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="orbax checkpoint dir: save every --checkpoint-every updates "
+        "and auto-resume from the latest step on restart (params, opt "
+        "state, PRNG key, and the full sharded EnvState pytree)",
+    )
+    p.add_argument("--checkpoint-every", type=int, default=10)
     args = p.parse_args(argv)
 
     import jax
@@ -192,7 +200,11 @@ def main(argv=None):
     import jax.numpy as jnp
 
     import highwayenv_tpu as ht
-    from highwayenv_tpu.parallel.sharding import make_mesh, shard_batch
+    from highwayenv_tpu.parallel.sharding import (
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
 
     env = ht.make(args.env)
     n_actions = env.action_type.n
@@ -212,10 +224,39 @@ def main(argv=None):
     _, states = env.reset_batch(jax.random.split(k_reset, B))
     states = shard_batch(states, mesh)
 
+    # checkpoint/resume: EnvState is a plain pytree of arrays, so the whole
+    # training state (params + opt + envs + PRNG) round-trips through orbax
+    mngr = None
+    start = 0
+    if args.checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        mngr = ocp.CheckpointManager(
+            _os.path.abspath(args.checkpoint_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=2),
+        )
+        latest = mngr.latest_step()
+        if latest is not None:
+            target = {
+                "params": params, "opt_state": opt_state,
+                "states": states, "key": key,
+            }
+            restored = mngr.restore(
+                latest, args=ocp.args.StandardRestore(target)
+            )
+            # restored arrays come back committed to single devices;
+            # re-replicate the dense training state over the mesh (env
+            # states keep their batch sharding from the restore target)
+            params = replicate(restored["params"], mesh)
+            opt_state = replicate(restored["opt_state"], mesh)
+            states, key = restored["states"], replicate(restored["key"], mesh)
+            start = latest + 1
+            print(f"resumed from checkpoint step {latest}")
+
     update = jax.jit(update, donate_argnums=(0, 1, 2))
     t0 = time.time()
     mean_r = float("nan")
-    for i in range(args.updates):
+    for i in range(start, args.updates):
         key, k = jax.random.split(key)
         params, opt_state, states, loss, mean_r = update(
             params, opt_state, states, k
@@ -225,8 +266,18 @@ def main(argv=None):
                 f"update {i:4d} loss {float(loss):+.4f} "
                 f"mean step reward {float(mean_r):.3f}"
             )
+        if mngr and (i + 1) % args.checkpoint_every == 0:
+            mngr.save(
+                i,
+                args=ocp.args.StandardSave(
+                    {"params": params, "opt_state": opt_state,
+                     "states": states, "key": key}
+                ),
+            )
+    if mngr:
+        mngr.wait_until_finished()
     jax.block_until_ready(params["w1"])
-    sps = args.updates * args.horizon * B / (time.time() - t0)
+    sps = (args.updates - start) * args.horizon * B / (time.time() - t0)
     print(f"throughput: {sps:,.0f} env-steps/s (incl. compile)")
     return float(mean_r)
 
