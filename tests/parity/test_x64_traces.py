@@ -41,6 +41,13 @@ CASES = [
     ("intersection-v0", 0),
     ("intersection-v0", 2),
     ("intersection-v0", 4),
+    # continuous lateral control on the spline/circular track (worst
+    # ~1.4e-6: sampled-Frenet spline vs the reference's scipy splines)
+    ("racetrack-v0", 0),
+    ("racetrack-v0", 3),
+    # generic config-driven networks (bit-exact, ~1e-13)
+    ("merge-generic-v0", 0),
+    ("roundabout-generic-v0", 1),
 ]
 
 
