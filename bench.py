@@ -36,6 +36,29 @@ from highwayenv_tpu.parallel.sharding import (
 )
 
 
+def _backend_watchdog(timeout_s: float):
+    """Abort (exit 2) if backend init never completes — the tunneled TPU
+    backend can hang indefinitely when the remote compile service is
+    wedged, and an infinite hang is worse than a recorded failure."""
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(
+                f"bench: backend init did not complete in {timeout_s:.0f}s "
+                "(TPU tunnel down?) — aborting",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     B = int(os.environ.get("BENCH_ENVS", 4096))
     T = int(os.environ.get("BENCH_HORIZON", 16))
@@ -43,8 +66,12 @@ def main():
     env_id = os.environ.get("BENCH_ENV_ID", "highway-v0")
     ref_sps = float(os.environ.get("BENCH_REF_STEPS_PER_SEC", 2.91))
 
+    ready = _backend_watchdog(
+        float(os.environ.get("BENCH_BACKEND_TIMEOUT", 600))
+    )
     env = ht.make(env_id)
     n_dev = len(jax.devices())
+    ready.set()
     B = (B // n_dev) * n_dev or n_dev
     mesh = make_mesh()
 
