@@ -313,6 +313,46 @@ class IntervalObserver:
         )
 
 
+def worst_case_collision(
+    interval: VehicleInterval,
+    self_heading: float,
+    other_position,
+    other_length: float,
+    other_width: float,
+    other_heading: float,
+    self_length: float = 5.0,
+    self_width: float = 2.0,
+):
+    """Robust-planning collision test against the uncertainty box
+    (IntervalVehicle.handle_collisions, prediction.py:459-496): a planned
+    ego pose collides if the OBSERVED vehicle could be anywhere in its
+    interval that intersects it.  Returns (collides, projection) where
+    projection is the worst-case position inside the box (None when the
+    fast rectangular pre-check already rules a collision out)."""
+    import jax.numpy as jnp
+
+    from highwayenv_tpu.utils.math import rects_intersecting
+
+    lo, hi = interval.position[0], interval.position[1]
+    p = np.asarray(other_position, float)
+    # fast rectangular pre-check (utils.point_in_rectangle)
+    if not np.all((lo - self_length <= p) & (p <= hi + self_length)):
+        return False, None
+    # worst-case position: the box point closest to the ego
+    projection = np.minimum(np.maximum(p, lo), hi)
+    hit, _will, _imp = rects_intersecting(
+        jnp.asarray(projection, jnp.float32),
+        jnp.float32(self_length),
+        jnp.float32(self_width),
+        jnp.float32(self_heading),
+        jnp.asarray(p, jnp.float32),
+        jnp.float32(0.9 * other_length),
+        jnp.float32(0.9 * other_width),
+        jnp.float32(other_heading),
+    )
+    return bool(np.asarray(hit)), projection
+
+
 def polytope_from_estimation(data: dict, parameter_box, structure):
     """RegressionVehicle.polytope_from_estimation
     (vehicle/uncertainty/estimation.py:26-38): replace the prior parameter

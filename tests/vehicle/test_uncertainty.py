@@ -115,3 +115,40 @@ def test_observer_step_batch_matches_host():
             np.asarray(new_hdg[i]), h.interval.heading, atol=2e-4,
             err_msg=f"row {i} heading",
         )
+
+
+def test_worst_case_collision_matches_reference():
+    """worst_case_collision vs the reference's
+    IntervalVehicle.handle_collisions (prediction.py:459-496) over a grid
+    of ego poses around an uncertainty box."""
+    from highway_env.road.road import Road, RoadNetwork
+    from highway_env.vehicle.controller import MDPVehicle
+    from highway_env.vehicle.uncertainty.prediction import IntervalVehicle
+
+    from highwayenv_tpu.ops.uncertainty import (
+        VehicleInterval,
+        worst_case_collision,
+    )
+
+    road = Road(network=RoadNetwork.straight_road_network(2))
+    lane = road.network.get_lane(("0", "1", 0))
+    for x in np.linspace(-12.0, 20.0, 9):
+        for y in np.linspace(-4.0, 4.0, 5):
+            iv = IntervalVehicle(road, lane.position(50.0, 0.0), heading=0.0, speed=20.0)
+            iv.interval.position = np.array(
+                [iv.position - [4.0, 1.0], iv.position + [4.0, 1.0]]
+            )
+            other = MDPVehicle(road, iv.position + [x, y], heading=0.1, speed=15.0)
+            iv.handle_collisions(other)
+            ref_hit = bool(iv.crashed)
+
+            box = VehicleInterval(
+                position=np.array(iv.interval.position, float),
+                speed=np.array([20.0, 20.0]),
+                heading=np.array([0.0, 0.0]),
+            )
+            hit, proj = worst_case_collision(
+                box, 0.0, other.position, other.LENGTH, other.WIDTH, 0.1,
+                self_length=iv.LENGTH, self_width=iv.WIDTH,
+            )
+            assert hit == ref_hit, (x, y, proj)
