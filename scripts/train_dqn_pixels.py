@@ -7,9 +7,10 @@ network — lives on device; only logging touches the host.
 Usage: python scripts/train_dqn_pixels.py [iters] [batch_envs]
 """
 
+from __future__ import annotations
+
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-from __future__ import annotations
 
 import sys
 import time
@@ -19,6 +20,11 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 import optax
+
+# the container sitecustomize force-sets JAX_PLATFORMS=axon; honor an
+# explicit platform request (e.g. HWT_PLATFORM=cpu for local smoke)
+if _os.environ.get("HWT_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["HWT_PLATFORM"])
 
 import highwayenv_tpu as ht
 

@@ -1,5 +1,3 @@
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 #!/usr/bin/env python
 """End-to-end on-device RL example: REINFORCE on highway-fast-v0.
 
@@ -13,6 +11,9 @@ Run (CPU smoke): JAX_PLATFORMS=cpu python scripts/train_reinforce.py --steps 3
 """
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import time

@@ -17,6 +17,20 @@ sys.path.insert(
 )
 
 
+def test_all_scripts_compile():
+    """compile() every script — ast.parse misses misplaced __future__
+    imports, which silently broke three training examples once."""
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    files = glob.glob(os.path.join(root, "scripts", "*.py"))
+    files += [os.path.join(root, "bench.py"), os.path.join(root, "__graft_entry__.py")]
+    assert len(files) > 10
+    for f in files:
+        with open(f) as fh:
+            compile(fh.read(), f, "exec")
+
+
 @pytest.mark.slow
 def test_ppo_example_runs():
     import train_ppo
