@@ -128,6 +128,10 @@ _SLOW_PATTERNS = (
     "test_seeded_reset_matches_reference[parking-parked-v0]",
     "test_seeded_reset_matches_reference[exit-v0]",
     "test_tracker_",
+    "test_vector_env_dict_obs_parking",
+    "test_vector_env_multi_agent_tuple_spaces",
+    "test_vector_env_autoreset_same_step",
+    "test_vector_env_final_obs",
 )
 
 

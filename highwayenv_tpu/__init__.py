@@ -37,6 +37,14 @@ def make(env_id: str, config: dict | None = None):
     return cls(config=base_config or None)
 
 
+def make_vec(env_id: str, num_envs: int, config: dict | None = None, **kw):
+    """Gymnasium VectorEnv over the batched JAX core (vector_env.py):
+    the whole batch steps as ONE jitted program on the accelerator."""
+    from highwayenv_tpu.vector_env import GymVectorEnv
+
+    return GymVectorEnv(env_id, num_envs, config=config, **kw)
+
+
 def registered_ids():
     return sorted(_REGISTRY)
 

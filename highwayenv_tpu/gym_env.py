@@ -217,6 +217,9 @@ def register_gymnasium_envs(namespace: str = "highwayenv_tpu") -> None:
         gymnasium.register(
             id=f"{namespace}/{env_id}",
             entry_point="highwayenv_tpu.gym_env:GymEnv",
+            # one jitted program for the whole batch (vector_env.py):
+            # gymnasium.make_vec("highwayenv_tpu/<id>", num_envs=N)
+            vector_entry_point="highwayenv_tpu.vector_env:GymVectorEnv",
             kwargs={"env_id": env_id},
             **extra,
         )
