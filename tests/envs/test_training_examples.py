@@ -47,3 +47,21 @@ def test_ppo_example_runs():
     )
     assert math.isfinite(mean_r)
     assert 0.0 <= mean_r <= 1.0  # highway-fast step rewards are in [0, 1]
+
+
+@pytest.mark.slow
+def test_dqn_torch_example_runs():
+    """Torch DQN over the VectorEnv adapter: the reference-user migration
+    path (torch agent + standard vector API, batched device env)."""
+    import train_dqn_torch
+
+    mean_r = train_dqn_torch.main(
+        [
+            "--updates", "6",
+            "--batch", "4",
+            "--train-batch", "8",
+            "--target-every", "3",
+        ]
+    )
+    assert math.isfinite(mean_r)
+    assert 0.0 <= mean_r <= 1.0
