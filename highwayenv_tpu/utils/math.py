@@ -220,46 +220,97 @@ def rects_intersecting_xy(
 
     ca, sa = jnp.cos(angle_a), jnp.sin(angle_a)
     cb, sb = jnp.cos(angle_b), jnp.sin(angle_b)
-    # signed axes in the reference's edge-winding order:
-    # rect A: [-uA_len, +uA_wid, +uA_len, -uA_wid], then same for rect B
+
+    # The reference winding order lists 8 signed edge normals per pair
+    # (rect A: [-uA_len, +uA_wid, +uA_len, -uA_wid], then rect B), but the
+    # +/- versions of an axis share ALL projection/extent/interval work:
+    # projections negate exactly, so intervals negate-and-reverse exactly,
+    # and the overlap booleans coincide.  Only the signed penetration depth
+    # differs — and both signed depths are the same two interval values
+    # (v1 = min_b - max_a, v2 = min_a - max_b) under mirrored selection.
+    # So: 4 unique axes of heavy work + 8 cheap MTV candidates.  Every
+    # expression below is arranged to stay bitwise identical to the 8-axis
+    # loop in exact-rounding form (commutative float adds, exact negations,
+    # and the exactly-zero cross terms ca*sa - sa*ca); squared norms are
+    # kept as computed, not folded to 1.  In compiled form the booleans
+    # measure bitwise equal on all platforms and the MTV components to
+    # ~1 ulp (XLA:CPU FMA-contracts the folded extents differently; on TPU
+    # all outputs measured bitwise equal — tests/test_math.py).  This
+    # nearly halves the pair-space cost of the collision pass — the largest
+    # block in the Pallas frame kernel.
+    norm_a = ca * ca + sa * sa
+    norm_b = cb * cb + sb * sb
+    adcc = jnp.abs(ca * cb + sa * sb)  # |cos(angle_a - angle_b)| form
+    adcs = jnp.abs(ca * sb - sa * cb)  # |sin(angle_a - angle_b)| form
+    ha_l, ha_w = length_a / 2, width_a / 2
+    hb_l, hb_w = length_b / 2, width_b / 2
+
+    # (ax, ay, cp_a, cp_b, vp, ext_a, ext_b) for the listed negative-sign
+    # version of each unique axis
     axes = [
-        (-ca, -sa), (-sa, ca), (ca, sa), (sa, -ca),
-        (-cb, -sb), (-sb, cb), (cb, sb), (sb, -cb),
+        (-ca, -sa,
+         -(ca * dax + sa * day), -(ca * dbx + sa * dby),
+         -(ca * relx + sa * rely),
+         ha_l * norm_a, hb_l * adcc + hb_w * adcs),
+        (-sa, ca,
+         ca * day - sa * dax, ca * dby - sa * dbx,
+         ca * rely - sa * relx,
+         ha_w * norm_a, hb_l * adcs + hb_w * adcc),
+        (-cb, -sb,
+         -(cb * dax + sb * day), -(cb * dbx + sb * dby),
+         -(cb * relx + sb * rely),
+         ha_l * adcc + ha_w * adcs, hb_l * norm_b),
+        (-sb, cb,
+         cb * day - sb * dax, cb * dby - sb * dbx,
+         cb * rely - sb * relx,
+         ha_l * adcs + ha_w * adcc, hb_w * norm_b),
     ]
 
     intersecting = None
     will_intersect = None
-    min_dist = None
-    best_ax = best_ay = None
+    neg_d = []  # signed swept depth for the listed (negative) axis version
+    pos_d = []  # ... and for the flipped (positive) version
 
-    for ax, ay in axes:
-        cp_a = ax * dax + ay * day
-        cp_b = ax * dbx + ay * dby
-        ext_a = length_a / 2 * jnp.abs(ax * ca + ay * sa) + width_a / 2 * jnp.abs(
-            -ax * sa + ay * ca
-        )
-        ext_b = length_b / 2 * jnp.abs(ax * cb + ay * sb) + width_b / 2 * jnp.abs(
-            -ax * sb + ay * cb
-        )
+    for ax, ay, cp_a, cp_b, vp, ext_a, ext_b in axes:
         min_a, max_a = cp_a - ext_a, cp_a + ext_a
         min_b, max_b = cp_b - ext_b, cp_b + ext_b
 
-        d_now = _interval_distance(min_a, max_a, min_b, max_b)
-        sep_now = d_now <= 0
-        intersecting = sep_now if intersecting is None else intersecting & sep_now
+        # axis-overlap now: (v1 <= 0) & (v2 <= 0) selects exactly the sign
+        # of _interval_distance for BOTH signed versions (the positive gap
+        # is always the selected branch when disjoint)
+        now_ok = (min_b - max_a <= 0) & (min_a - max_b <= 0)
+        intersecting = now_ok if intersecting is None else intersecting & now_ok
 
-        vp = ax * relx + ay * rely
-        d_swept = _interval_distance(
-            min_a + jnp.minimum(vp, 0.0), max_a + jnp.maximum(vp, 0.0), min_b, max_b
-        )
-        ok_swept = d_swept <= 0
+        as_lo = min_a + jnp.minimum(vp, 0.0)
+        as_hi = max_a + jnp.maximum(vp, 0.0)
+        v1 = min_b - as_hi
+        v2 = as_lo - max_b
+        swept_ok = (v1 <= 0) & (v2 <= 0)
         will_intersect = (
-            ok_swept if will_intersect is None else will_intersect & ok_swept
+            swept_ok if will_intersect is None else will_intersect & swept_ok
         )
 
+        neg_d.append(jnp.where(as_lo < min_b, v1, v2))
+        pos_d.append(jnp.where(max_b < as_hi, v2, v1))
+
+    # MTV scan over the 8 signed candidates in the reference's original
+    # order (ties must resolve identically: first minimum wins, utils.py:234)
+    (nca, nsa), (nsa2, pca) = (-ca, -sa), (-sa, ca)
+    (ncb, nsb), (nsb2, pcb) = (-cb, -sb), (-sb, cb)
+    candidates = [
+        (neg_d[0], nca, nsa), (neg_d[1], nsa2, pca),
+        (pos_d[0], ca, sa), (pos_d[1], sa, -ca),
+        (neg_d[2], ncb, nsb), (neg_d[3], nsb2, pcb),
+        (pos_d[2], cb, sb), (pos_d[3], sb, -cb),
+    ]
+    min_dist = None
+    best_ax = best_ay = None
+    for d_swept, ax, ay in candidates:
         ad = jnp.abs(d_swept)
         if min_dist is None:
-            min_dist, best_ax, best_ay = ad, jnp.broadcast_to(ax, ad.shape), jnp.broadcast_to(ay, ad.shape)
+            min_dist = ad
+            best_ax = jnp.broadcast_to(ax, ad.shape)
+            best_ay = jnp.broadcast_to(ay, ad.shape)
         else:
             better = ad < min_dist  # strict: first minimum wins (utils.py:234)
             min_dist = jnp.where(better, ad, min_dist)

@@ -39,15 +39,24 @@ from highwayenv_tpu.parallel.sharding import (
 )
 
 
-def timed(fn, *args, n=3):
+def timed(fn, carry, n=3):
     """Median of n host-materialized timings (tunnel-safe: float() forces
-    the transfer inside the region)."""
-    outs = fn(*args)  # compile
-    jax.tree.map(lambda x: x.block_until_ready(), outs)
+    the transfer inside the region).
+
+    ``fn(carry) -> (carry, outs)`` and the new carry is threaded into the
+    next call — the rollouts donate their state argument, so the input
+    buffer of call k is dead by call k+1 and must not be reused.
+    """
+    carry, outs = fn(carry)  # compile
+    s = sum(
+        float(jnp.sum(x).astype(jnp.float32))
+        for x in jax.tree.leaves(outs)
+        if hasattr(x, "dtype")
+    )
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        outs = fn(*args)
+        carry, outs = fn(carry)
         s = sum(
             float(jnp.sum(x).astype(jnp.float32))
             for x in jax.tree.leaves(outs)
@@ -70,12 +79,22 @@ def main():
 
     # ---- A: full pipeline -------------------------------------------- #
     rollout = sharded_rollout_fn(env, mesh, horizon=T)
-    tA, _ = timed(lambda s: rollout(s, jax.random.PRNGKey(1))[1], states)
+    tA, _ = timed(lambda s: rollout(s, jax.random.PRNGKey(1)), states)
+    states = shard_batch(
+        jax.jit(jax.vmap(env._reset))(keys)[1], mesh
+    )  # rollout donated the original
 
     # ---- B: sim only, persistent batch-minor ------------------------- #
     frames = env.frames_per_step
     frame_fn = build_pallas_frame(env, frames=frames)
     veh = states.vehicles
+
+    def _checksum(tree):
+        # one scalar keeps everything live and costs ONE host round trip
+        # (per-leaf float() would pay ~30 tunnel RTTs and dominate)
+        return sum(
+            jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(tree)
+        )
 
     @jax.jit
     def sim_bm(veh, key):
@@ -87,9 +106,9 @@ def main():
             return frame_fn(arrs), jnp.float32(0)
 
         arrays, _ = jax.lax.scan(body, arrays, jax.random.split(key, T))
-        return arrays
+        return _checksum(arrays)
 
-    tB, _ = timed(sim_bm, veh, jax.random.PRNGKey(2))
+    tB, _ = timed(lambda v: (v, sim_bm(v, jax.random.PRNGKey(2))), veh)
 
     # ---- C: sim via VehicleState (per-step pack/unpack) --------------- #
     @jax.jit
@@ -100,9 +119,9 @@ def main():
             return pallas_simulate_bm(env, v, sa, frames), jnp.float32(0)
 
         veh, _ = jax.lax.scan(body, veh, jax.random.split(key, T))
-        return veh
+        return _checksum(veh)
 
-    tC, _ = timed(sim_state, veh, jax.random.PRNGKey(3))
+    tC, _ = timed(lambda v: (v, sim_state(v, jax.random.PRNGKey(3))), veh)
 
     # ---- D: head only -------------------------------------------------- #
     @jax.jit
@@ -113,9 +132,11 @@ def main():
             return s2, (jnp.mean(r), sum(jnp.sum(x) for x in jax.tree.leaves(obs)))
 
         s, out = jax.lax.scan(body, states, jax.random.split(key, T))
-        return out
+        return _checksum(out)
 
-    tD, _ = timed(head_only, states, jax.random.PRNGKey(4))
+    tD, _ = timed(
+        lambda s: (s, head_only(s, jax.random.PRNGKey(4))), states
+    )
 
     ms = lambda t: 1e3 * t / T
     print(f"B={B} T={T} frames/step={frames}")
