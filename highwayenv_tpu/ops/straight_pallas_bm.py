@@ -462,7 +462,7 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     lane = jnp.where(mv, new_lane, f["lane"])
 
     # --- collisions (sphere pre-check + swept SAT, ops/collision.py) ------- #
-    from highwayenv_tpu.utils.math import rects_intersecting_xy
+    from highwayenv_tpu.utils.math import rects_intersecting_xy_folded
 
     upper = row_i < col_i
     if lean:
@@ -499,7 +499,7 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
 
     velx = speed * jnp.cos(heading)
     vely = speed * jnp.sin(heading)
-    inter, will, tx, ty = rects_intersecting_xy(
+    inter, will, tx, ty = rects_intersecting_xy_folded(
         px[:, None, :], py[:, None, :],
         f["length"][:, None, :], f["width"][:, None, :], heading[:, None, :],
         px[None, :, :], py[None, :, :],

@@ -212,7 +212,17 @@ def rects_intersecting_xy(
     (..., 2) vector axes anywhere, so it is usable inside Pallas TPU kernels
     (a minor dim of 2 tiles catastrophically on the VPU).  ``relx/rely`` is
     the relative displacement (a - b) for the velocity sweep.  Returns
-    (intersecting, will_intersect, tx, ty)."""
+    (intersecting, will_intersect, tx, ty).
+
+    This is the straight 8-signed-axis loop in the reference's winding
+    order (utils.py:196-241).  Under XLA this form fuses best: the folded
+    4-axis variant below, despite doing ~half the arithmetic, compiles
+    ~2x SLOWER on the XLA general path (measured: intersection-v0 25.9k ->
+    12.8k env-steps/s; merge/roundabout/parking -8-10%) — the longer-lived
+    neg_d/pos_d temporaries break XLA's elementwise fusion of the collision
+    pass.  Inside mosaic (Pallas) the trade inverts: no fusion heuristics,
+    arithmetic count wins, and the folded form is +20% end-to-end.  Keep
+    both; they are boolean-bitwise-identical (tests/test_math.py)."""
     if relx is None:
         relx = jnp.zeros_like(dax)
     if rely is None:
@@ -220,24 +230,98 @@ def rects_intersecting_xy(
 
     ca, sa = jnp.cos(angle_a), jnp.sin(angle_a)
     cb, sb = jnp.cos(angle_b), jnp.sin(angle_b)
+    # signed axes in the reference's edge-winding order:
+    # rect A: [-uA_len, +uA_wid, +uA_len, -uA_wid], then same for rect B
+    axes = [
+        (-ca, -sa), (-sa, ca), (ca, sa), (sa, -ca),
+        (-cb, -sb), (-sb, cb), (cb, sb), (sb, -cb),
+    ]
 
-    # The reference winding order lists 8 signed edge normals per pair
-    # (rect A: [-uA_len, +uA_wid, +uA_len, -uA_wid], then rect B), but the
-    # +/- versions of an axis share ALL projection/extent/interval work:
-    # projections negate exactly, so intervals negate-and-reverse exactly,
-    # and the overlap booleans coincide.  Only the signed penetration depth
-    # differs — and both signed depths are the same two interval values
-    # (v1 = min_b - max_a, v2 = min_a - max_b) under mirrored selection.
-    # So: 4 unique axes of heavy work + 8 cheap MTV candidates.  Every
-    # expression below is arranged to stay bitwise identical to the 8-axis
-    # loop in exact-rounding form (commutative float adds, exact negations,
-    # and the exactly-zero cross terms ca*sa - sa*ca); squared norms are
-    # kept as computed, not folded to 1.  In compiled form the booleans
-    # measure bitwise equal on all platforms and the MTV components to
-    # ~1 ulp (XLA:CPU FMA-contracts the folded extents differently; on TPU
-    # all outputs measured bitwise equal — tests/test_math.py).  This
-    # nearly halves the pair-space cost of the collision pass — the largest
-    # block in the Pallas frame kernel.
+    intersecting = None
+    will_intersect = None
+    min_dist = None
+    best_ax = best_ay = None
+
+    for ax, ay in axes:
+        cp_a = ax * dax + ay * day
+        cp_b = ax * dbx + ay * dby
+        ext_a = length_a / 2 * jnp.abs(ax * ca + ay * sa) + width_a / 2 * jnp.abs(
+            -ax * sa + ay * ca
+        )
+        ext_b = length_b / 2 * jnp.abs(ax * cb + ay * sb) + width_b / 2 * jnp.abs(
+            -ax * sb + ay * cb
+        )
+        min_a, max_a = cp_a - ext_a, cp_a + ext_a
+        min_b, max_b = cp_b - ext_b, cp_b + ext_b
+
+        d_now = _interval_distance(min_a, max_a, min_b, max_b)
+        sep_now = d_now <= 0
+        intersecting = sep_now if intersecting is None else intersecting & sep_now
+
+        vp = ax * relx + ay * rely
+        d_swept = _interval_distance(
+            min_a + jnp.minimum(vp, 0.0), max_a + jnp.maximum(vp, 0.0), min_b, max_b
+        )
+        ok_swept = d_swept <= 0
+        will_intersect = (
+            ok_swept if will_intersect is None else will_intersect & ok_swept
+        )
+
+        ad = jnp.abs(d_swept)
+        if min_dist is None:
+            min_dist = ad
+            best_ax = jnp.broadcast_to(ax, ad.shape)
+            best_ay = jnp.broadcast_to(ay, ad.shape)
+        else:
+            better = ad < min_dist  # strict: first minimum wins (utils.py:234)
+            min_dist = jnp.where(better, ad, min_dist)
+            best_ax = jnp.where(better, ax, best_ax)
+            best_ay = jnp.where(better, ay, best_ay)
+
+    # orient from b towards a (utils.py:236-237)
+    dcx = dax - dbx
+    dcy = day - dby
+    sign = jnp.where(dcx * best_ax + dcy * best_ay > 0, 1.0, -1.0)
+    return (
+        intersecting,
+        will_intersect,
+        min_dist * sign * best_ax,
+        min_dist * sign * best_ay,
+    )
+
+
+def rects_intersecting_xy_folded(
+    dax, day, length_a, width_a, angle_a,
+    dbx, dby, length_b, width_b, angle_b,
+    relx=None, rely=None,
+):
+    """4-unique-axis fold of :func:`rects_intersecting_xy` — same contract,
+    ~half the pair-space arithmetic.  Use inside Pallas/mosaic kernels ONLY:
+    on the XLA path this form compiles ~2x slower (see the note on
+    rects_intersecting_xy).
+
+    The reference winding order lists 8 signed edge normals per pair
+    (rect A: [-uA_len, +uA_wid, +uA_len, -uA_wid], then rect B), but the
+    +/- versions of an axis share ALL projection/extent/interval work:
+    projections negate exactly, so intervals negate-and-reverse exactly,
+    and the overlap booleans coincide.  Only the signed penetration depth
+    differs — and both signed depths are the same two interval values
+    (v1 = min_b - max_a, v2 = min_a - max_b) under mirrored selection.
+    So: 4 unique axes of heavy work + 8 cheap MTV candidates.  Every
+    expression below is arranged to stay bitwise identical to the 8-axis
+    loop in exact-rounding form (commutative float adds, exact negations,
+    and the exactly-zero cross terms ca*sa - sa*ca); squared norms are
+    kept as computed, not folded to 1.  In compiled form the booleans
+    measure bitwise equal on all platforms and the MTV components to
+    ~1 ulp (XLA:CPU FMA-contracts the folded extents differently; on TPU
+    all outputs measured bitwise equal — tests/test_math.py)."""
+    if relx is None:
+        relx = jnp.zeros_like(dax)
+    if rely is None:
+        rely = jnp.zeros_like(day)
+
+    ca, sa = jnp.cos(angle_a), jnp.sin(angle_a)
+    cb, sb = jnp.cos(angle_b), jnp.sin(angle_b)
     norm_a = ca * ca + sa * sa
     norm_b = cb * cb + sb * sb
     adcc = jnp.abs(ca * cb + sa * sb)  # |cos(angle_a - angle_b)| form

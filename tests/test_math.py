@@ -122,58 +122,9 @@ def test_distance_to_rect():
             np.testing.assert_allclose(ours[k], ref, rtol=1e-3, atol=1e-3)
 
 
-def _sat_8axis(dax, day, la, wa, aa, dbx, dby, lb, wb, ab, relx, rely):
-    """The original 8-signed-axis SAT loop, kept verbatim as the oracle for
-    the folded 4-axis implementation in utils/math.py (which must stay
-    BITWISE identical to this form)."""
-    ca, sa = jnp.cos(aa), jnp.sin(aa)
-    cb, sb = jnp.cos(ab), jnp.sin(ab)
-    axes = [
-        (-ca, -sa), (-sa, ca), (ca, sa), (sa, -ca),
-        (-cb, -sb), (-sb, cb), (cb, sb), (sb, -cb),
-    ]
-    intersecting = will_intersect = min_dist = best_ax = best_ay = None
-    for ax, ay in axes:
-        cp_a = ax * dax + ay * day
-        cp_b = ax * dbx + ay * dby
-        ext_a = la / 2 * jnp.abs(ax * ca + ay * sa) + wa / 2 * jnp.abs(
-            -ax * sa + ay * ca
-        )
-        ext_b = lb / 2 * jnp.abs(ax * cb + ay * sb) + wb / 2 * jnp.abs(
-            -ax * sb + ay * cb
-        )
-        min_a, max_a = cp_a - ext_a, cp_a + ext_a
-        min_b, max_b = cp_b - ext_b, cp_b + ext_b
-        d_now = m._interval_distance(min_a, max_a, min_b, max_b)
-        ok = d_now <= 0
-        intersecting = ok if intersecting is None else intersecting & ok
-        vp = ax * relx + ay * rely
-        d_swept = m._interval_distance(
-            min_a + jnp.minimum(vp, 0.0),
-            max_a + jnp.maximum(vp, 0.0),
-            min_b,
-            max_b,
-        )
-        oks = d_swept <= 0
-        will_intersect = oks if will_intersect is None else will_intersect & oks
-        ad = jnp.abs(d_swept)
-        if min_dist is None:
-            min_dist = ad
-            best_ax = jnp.broadcast_to(ax, ad.shape)
-            best_ay = jnp.broadcast_to(ay, ad.shape)
-        else:
-            better = ad < min_dist
-            min_dist = jnp.where(better, ad, min_dist)
-            best_ax = jnp.where(better, ax, best_ax)
-            best_ay = jnp.where(better, ay, best_ay)
-    dcx = dax - dbx
-    dcy = day - dby
-    sign = jnp.where(dcx * best_ax + dcy * best_ay > 0, 1.0, -1.0)
-    return intersecting, will_intersect, min_dist * sign * best_ax, min_dist * sign * best_ay
-
-
 def test_sat_folded_bitwise_matches_8axis():
-    """The 4-unique-axis SAT must match the 8-signed-axis loop: booleans
+    """rects_intersecting_xy_folded (the mosaic/Pallas variant) must match
+    rects_intersecting_xy (the 8-signed-axis XLA-path loop): booleans
     bitwise on every platform, MTV components to ~1 ulp (XLA's FMA
     contraction may associate the folded extent expressions differently
     between the two compiled programs; on TPU all four outputs measure
@@ -206,8 +157,8 @@ def test_sat_folded_bitwise_matches_8axis():
         jnp.asarray(x)
         for x in (dax, day, la, wa, aa, dbx, dby, la, wa, ab, relx, rely)
     )
-    ours = jax.jit(m.rects_intersecting_xy)(*args)
-    ref = jax.jit(_sat_8axis)(*args)
+    ours = jax.jit(m.rects_intersecting_xy_folded)(*args)
+    ref = jax.jit(m.rects_intersecting_xy)(*args)
     for o, r in zip(ours[:2], ref[:2]):
         np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
     # identical-pose pairs have an exactly-tied MTV whose direction the
