@@ -167,6 +167,152 @@ def _gather(geo: LaneGeometry, lane: jnp.ndarray):
     return jnp.clip(lane, 0, geo.kind.shape[0] - 1)
 
 
+class LaneParams(NamedTuple):
+    """Per-query analytic lane parameters (straight/sine/circular kernels).
+
+    Fetched either by gather (:func:`gather_params`) or by a gather-free
+    one-hot mask+sum select (:func:`select_params`); the two are exactly
+    equal element-wise, so the geometry cores below produce bitwise-equal
+    results from either fetch.
+    """
+
+    kind: jnp.ndarray
+    start: jnp.ndarray
+    direction: jnp.ndarray
+    direction_lateral: jnp.ndarray
+    heading0: jnp.ndarray
+    amplitude: jnp.ndarray
+    pulsation: jnp.ndarray
+    phase: jnp.ndarray
+    center: jnp.ndarray
+    radius: jnp.ndarray
+    start_phase: jnp.ndarray
+    cw: jnp.ndarray
+
+
+def gather_params(geo: LaneGeometry, li: jnp.ndarray) -> LaneParams:
+    """Param fetch by table gather (li pre-clipped by _gather)."""
+    return LaneParams(
+        *(getattr(geo, f)[li] for f in LaneParams._fields)
+    )
+
+
+def select_table(tab, lane: jnp.ndarray, L: int):
+    """Gather-free ``tab[lane]``: one-hot mask+sum over the static L axis.
+
+    Exact (the one-hot picks a single addend; jnp.where keeps inf/NaN table
+    entries out of the masked-off lanes).  Use inside fused frame / tick
+    kernels where a real gather would break XLA elementwise fusion on TPU —
+    the same op-form finding as the (V,V) row fetches in
+    vehicle/behavior.py (BASELINE.md, general-path lookup rewrite).
+    """
+    li = jnp.clip(lane, 0, L - 1)
+    oh = li[..., None] == jnp.arange(L, dtype=li.dtype)  # (..., L)
+    a = jnp.asarray(tab.a if isinstance(tab, Table) else tab)
+    if a.ndim == 1:
+        return jnp.sum(jnp.where(oh, a, jnp.zeros((), a.dtype)), axis=-1)
+    return jnp.sum(jnp.where(oh[..., None], a, jnp.zeros((), a.dtype)), axis=-2)
+
+
+def select_params(geo: LaneGeometry, lane: jnp.ndarray) -> LaneParams:
+    """Gather-free LaneParams fetch (see select_table).  One one-hot mask is
+    shared by all fields so the whole fetch is a single fused mask+sum pass."""
+    L = geo.num_lanes
+    li = jnp.clip(lane, 0, L - 1)
+    oh = li[..., None] == jnp.arange(L, dtype=li.dtype)  # (..., L)
+
+    def sel(tab):
+        a = jnp.asarray(tab.a)
+        if a.ndim == 1:
+            return jnp.sum(jnp.where(oh, a, jnp.zeros((), a.dtype)), axis=-1)
+        return jnp.sum(
+            jnp.where(oh[..., None], a, jnp.zeros((), a.dtype)), axis=-2
+        )
+
+    return LaneParams(*(sel(getattr(geo, f)) for f in LaneParams._fields))
+
+
+# --------------------------------------------------------------------------- #
+# analytic geometry cores (shared by the gather- and select-fetched paths)
+# --------------------------------------------------------------------------- #
+
+
+def _position_core(p: LaneParams, s: jnp.ndarray, lat: jnp.ndarray):
+    lat_eff = jnp.where(
+        p.kind == SINE,
+        lat + p.amplitude * jnp.sin(p.pulsation * s + p.phase),
+        lat,
+    )
+    p_str = (
+        p.start
+        + s[..., None] * p.direction
+        + lat_eff[..., None] * p.direction_lateral
+    )
+    phi = p.cw * s / p.radius + p.start_phase
+    p_cir = p.center + (p.radius - lat * p.cw)[..., None] * jnp.stack(
+        [jnp.cos(phi), jnp.sin(phi)], axis=-1
+    )
+    return jnp.where((p.kind == CIRCULAR)[..., None], p_cir, p_str)
+
+
+def _heading_core(p: LaneParams, s: jnp.ndarray):
+    h_sin = p.heading0 + jnp.arctan(
+        p.amplitude * p.pulsation * jnp.cos(p.pulsation * s + p.phase)
+    )
+    phi = p.cw * s / p.radius + p.start_phase
+    h_cir = phi + jnp.pi / 2 * p.cw
+    return jnp.where(
+        p.kind == CIRCULAR, h_cir, jnp.where(p.kind == SINE, h_sin, p.heading0)
+    )
+
+
+def _local_core(p: LaneParams, pos: jnp.ndarray):
+    delta = pos - p.start
+    s_str = jnp.einsum("...d,...d->...", delta, p.direction, precision="highest")
+    r_str = jnp.einsum(
+        "...d,...d->...", delta, p.direction_lateral, precision="highest"
+    )
+    r_sin = r_str - p.amplitude * jnp.sin(p.pulsation * s_str + p.phase)
+    dc = pos - p.center
+    phi = jnp.arctan2(dc[..., 1], dc[..., 0])
+    sp = p.start_phase
+    phi = sp + wrap_to_pi(phi - sp)
+    r = jnp.linalg.norm(dc, axis=-1)
+    s_cir = p.cw * (phi - sp) * p.radius
+    r_cir = p.cw * (p.radius - r)
+    s = jnp.where(p.kind == CIRCULAR, s_cir, s_str)
+    lat = jnp.where(
+        p.kind == CIRCULAR, r_cir, jnp.where(p.kind == SINE, r_sin, r_str)
+    )
+    return s, lat
+
+
+def has_poly(geo: LaneGeometry) -> bool:
+    """Static: does this network contain any POLY lanes?"""
+    return geo.poly_pos.shape[0] > 1 or bool(np.any(np.asarray(geo.poly_slot) >= 0))
+
+
+def position_select(geo: LaneGeometry, lane, s, lat):
+    """Gather-free :func:`position` for analytic-only networks; falls back
+    to the gather form when POLY lanes exist (their sample banks need real
+    gathers anyway)."""
+    if has_poly(geo):
+        return position(geo, lane, s, lat)
+    return _position_core(select_params(geo, lane), s, lat)
+
+
+def heading_at_select(geo: LaneGeometry, lane, s):
+    if has_poly(geo):
+        return heading_at(geo, lane, s)
+    return _heading_core(select_params(geo, lane), s)
+
+
+def local_coordinates_select(geo: LaneGeometry, lane, pos):
+    if has_poly(geo):
+        return local_coordinates(geo, lane, pos)
+    return _local_core(select_params(geo, lane), pos)
+
+
 def _poly_slot(geo: LaneGeometry, li):
     return jnp.clip(geo.poly_slot[li], 0, geo.poly_pos.shape[0] - 1)
 
@@ -237,30 +383,10 @@ def local_coordinates(geo: LaneGeometry, lane: jnp.ndarray, pos: jnp.ndarray):
     Poly: 414-417 (sampled Frenet).
     """
     li = _gather(geo, lane)
-    kind = geo.kind[li]
+    s, lat = _local_core(gather_params(geo, li), pos)
 
-    # straight frame
-    delta = pos - geo.start[li]
-    s_str = jnp.einsum("...d,...d->...", delta, geo.direction[li], precision="highest")
-    r_str = jnp.einsum("...d,...d->...", delta, geo.direction_lateral[li], precision="highest")
-    # sine correction on the straight frame
-    r_sin = r_str - geo.amplitude[li] * jnp.sin(
-        geo.pulsation[li] * s_str + geo.phase[li]
-    )
-
-    # circular frame
-    dc = pos - geo.center[li]
-    phi = jnp.arctan2(dc[..., 1], dc[..., 0])
-    sp = geo.start_phase[li]
-    phi = sp + wrap_to_pi(phi - sp)
-    r = jnp.linalg.norm(dc, axis=-1)
-    s_cir = geo.cw[li] * (phi - sp) * geo.radius[li]
-    r_cir = geo.cw[li] * (geo.radius[li] - r)
-
-    s = jnp.where(kind == CIRCULAR, s_cir, s_str)
-    lat = jnp.where(kind == CIRCULAR, r_cir, jnp.where(kind == SINE, r_sin, r_str))
-
-    if geo.poly_pos.shape[0] > 1 or bool(np.any(np.asarray(geo.poly_slot) >= 0)):
+    if has_poly(geo):
+        kind = geo.kind[li]
         s_pol, lat_pol = _poly_frenet(geo, _poly_slot(geo, li), pos)
         s = jnp.where(kind == POLY, s_pol, s)
         lat = jnp.where(kind == POLY, lat_pol, lat)
@@ -271,27 +397,9 @@ def position(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray, lat: jnp.ndar
     """World position at local lane coordinates. Returns (...,2)."""
     li = _gather(geo, lane)
     kind = geo.kind[li]
+    out = _position_core(gather_params(geo, li), s, lat)
 
-    lat_eff = jnp.where(
-        kind == SINE,
-        lat
-        + geo.amplitude[li]
-        * jnp.sin(geo.pulsation[li] * s + geo.phase[li]),
-        lat,
-    )
-    p_str = (
-        geo.start[li]
-        + s[..., None] * geo.direction[li]
-        + lat_eff[..., None] * geo.direction_lateral[li]
-    )
-
-    phi = geo.cw[li] * s / geo.radius[li] + geo.start_phase[li]
-    p_cir = geo.center[li] + (geo.radius[li] - lat * geo.cw[li])[..., None] * jnp.stack(
-        [jnp.cos(phi), jnp.sin(phi)], axis=-1
-    )
-    out = jnp.where((kind == CIRCULAR)[..., None], p_cir, p_str)
-
-    if geo.poly_pos.shape[0] > 1 or bool(np.any(np.asarray(geo.poly_slot) >= 0)):
+    if has_poly(geo):
         # PolyLaneFixedWidth.position (road/lane.py:409-412): control-point
         # interpolation + lateral offset along the pose orthonormal
         p = _poly_slot(geo, li)
@@ -306,19 +414,9 @@ def position(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray, lat: jnp.ndar
 
 def heading_at(geo: LaneGeometry, lane: jnp.ndarray, s: jnp.ndarray):
     li = _gather(geo, lane)
-    kind = geo.kind[li]
-    h_str = geo.heading0[li]
-    h_sin = h_str + jnp.arctan(
-        geo.amplitude[li]
-        * geo.pulsation[li]
-        * jnp.cos(geo.pulsation[li] * s + geo.phase[li])
-    )
-    phi = geo.cw[li] * s / geo.radius[li] + geo.start_phase[li]
-    h_cir = phi + jnp.pi / 2 * geo.cw[li]
-    out = jnp.where(
-        kind == CIRCULAR, h_cir, jnp.where(kind == SINE, h_sin, h_str)
-    )
-    if geo.poly_pos.shape[0] > 1 or bool(np.any(np.asarray(geo.poly_slot) >= 0)):
+    out = _heading_core(gather_params(geo, li), s)
+    if has_poly(geo):
+        kind = geo.kind[li]
         nrm = _poly_segment_normal(geo, _poly_slot(geo, li), s)
         out = jnp.where(
             kind == POLY, jnp.arctan2(nrm[..., 1], nrm[..., 0]), out

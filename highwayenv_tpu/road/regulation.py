@@ -42,7 +42,7 @@ def predict_route_positions(
     T = len(times)
     seg = jnp.arange(R)
 
-    s0, _ = lane_ops.local_coordinates(geo, state.lane, state.pos)
+    s0, _ = lane_ops.local_coordinates_select(geo, state.lane, state.pos)
     target = s0[..., None] + state.speed[..., None] * jnp.asarray(
         times, jnp.float32
     )  # (V, T)
@@ -54,7 +54,9 @@ def predict_route_positions(
     valid = has_route & (seg >= ptr) & (seg < state.route_len[..., None])
     # explicit segment lane id, else keep the current lane id clamped to the
     # segment's lane count (road.py:340-352)
-    cur_id = geo.lane_id[lane_ops._gather(geo, state.lane)][..., None]
+    cur_id = lane_ops.select_table(geo.lane_id, state.lane, geo.num_lanes)[
+        ..., None
+    ]
     fallback = jnp.where(cur_id < state.route_n, cur_id, 0)
     seg_id = jnp.where(state.route_id >= 0, state.route_id, fallback)
     seg_lane = jnp.clip(
@@ -64,7 +66,9 @@ def predict_route_positions(
 
     # walk: subtract completed segment lengths while more segments remain
     # (the final valid segment extrapolates)
-    seg_len = jnp.where(valid, geo.length[seg_lane], 0.0)
+    seg_len = jnp.where(
+        valid, lane_ops.select_table(geo.length, seg_lane, geo.num_lanes), 0.0
+    )
     n_valid = jnp.sum(valid, axis=-1)  # (V,)
     first = jnp.argmax(valid, axis=-1)  # index of first valid segment (or 0)
     first = jnp.where(n_valid > 0, first, 0)
@@ -97,8 +101,8 @@ def predict_route_positions(
         0.0,
     )
     s_local = target - base
-    pos = lane_ops.position(geo, lane_k, s_local, jnp.zeros_like(s_local))
-    heading = lane_ops.heading_at(geo, lane_k, s_local)
+    pos = lane_ops.position_select(geo, lane_k, s_local, jnp.zeros_like(s_local))
+    heading = lane_ops.heading_at_select(geo, lane_k, s_local)
     return pos, heading
 
 
@@ -113,7 +117,7 @@ def enforce_road_rules(
     expired = state.is_yielding & (
         state.yield_timer >= YIELD_DURATION * REGULATION_FREQUENCY
     )
-    limit = geo.speed_limit[lane_ops._gather(geo, state.lane)]
+    limit = lane_ops.select_table(geo.speed_limit, state.lane, geo.num_lanes)
     target_speed = jnp.where(expired, limit, state.target_speed)
     yield_timer = jnp.where(
         state.is_yielding & ~expired, state.yield_timer + 1, state.yield_timer
@@ -196,7 +200,7 @@ def enforce_road_rules(
 
     # 3. who yields: lower current-lane priority; tie -> the trailing vehicle
     # (regulation.py:73-88)
-    prio = geo.priority[lane_ops._gather(geo, state.lane)]
+    prio = lane_ops.select_table(geo.priority, state.lane, geo.num_lanes)
     p_i = prio[..., :, None]
     p_j = prio[..., None, :]
     d = state.pos[..., None, :, :] - state.pos[..., :, None, :]  # j - i

@@ -23,14 +23,24 @@ ENV_IDS = sys.argv[1:] or [
 B = int(__import__("os").environ.get("BENCH_ENVS", 1024))
 HORIZON = 16
 
-mesh = make_mesh(jax.devices())
-for env_id in ENV_IDS:
+# envs with expensive resets get a second, fresh-pool line: the in-step
+# autoreset pays a full per-env _reset every step (both select branches);
+# fresh_pool=B//4 amortizes it 4x with distribution-exact prefix-assigned
+# fresh scenes (parallel/sharding.py::sharded_rollout_fn)
+POOLED_VARIANTS = {"intersection-v0"}
+
+
+def bench_one(env_id, mesh, pooled):
+    label = env_id + (" +pool" if pooled else "")
     try:
         env = ht.make(env_id)
         keys = jax.random.split(jax.random.PRNGKey(0), B)
         _, states = jax.jit(jax.vmap(env._reset))(keys)
         states = shard_batch(states, mesh)
-        rollout = sharded_rollout_fn(env, mesh, horizon=HORIZON)
+        rollout = sharded_rollout_fn(
+            env, mesh, horizon=HORIZON,
+            fresh_pool=(B // 4 if pooled else None),
+        )
         t0 = time.time()
         states, m = rollout(states, jax.random.PRNGKey(1))
         _ = float(m["mean_reward"]) + float(m["obs_checksum"])
@@ -42,9 +52,20 @@ for env_id in ENV_IDS:
             _ = float(m["mean_reward"]) + float(m["obs_checksum"])
         dt = time.time() - t0
         print(
-            f"{env_id:22s} {B*HORIZON*n/dt:>10,.0f} env-steps/s   "
+            f"{label:22s} {B*HORIZON*n/dt:>10,.0f} env-steps/s   "
             f"(compile {compile_s:.0f}s, done_rate {float(m['done_rate']):.3f})",
             flush=True,
         )
     except Exception as e:  # keep the table going
-        print(f"{env_id:22s} FAILED: {type(e).__name__}: {e}", flush=True)
+        print(f"{label:22s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+def main():
+    mesh = make_mesh(jax.devices())
+    for env_id in ENV_IDS:
+        for pooled in [False, True] if env_id in POOLED_VARIANTS else [False]:
+            bench_one(env_id, mesh, pooled)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,3 +128,61 @@ def test_builder_edge_tables():
     assert all(sb[2] == -1) and all(sb[3] == -1)
     pb = np.asarray(geo.pred_edge_base)
     assert pb[2][0] == 0 and pb[3][0] == 0
+
+
+def test_select_forms_bitwise_match_gather_forms():
+    """position_select/heading_at_select/local_coordinates_select (the
+    gather-free mask+sum variants used inside fused tick kernels,
+    road/regulation.py) must be BITWISE equal to the gather forms on an
+    analytic network — both run the same cores on exactly-selected params."""
+    import highwayenv_tpu as ht
+
+    env = ht.make("intersection-v0")
+    geo = env.geo
+    L = geo.num_lanes
+    rng = np.random.default_rng(3)
+    shape = (64, 7)
+    lanes = jnp.asarray(rng.integers(-1, L + 1, shape), jnp.int32)  # incl. OOB
+    s = jnp.asarray(rng.uniform(-10, 120, shape), jnp.float32)
+    lat = jnp.asarray(rng.uniform(-4, 4, shape), jnp.float32)
+    pos = jnp.asarray(rng.uniform(-60, 60, shape + (2,)), jnp.float32)
+
+    import jax
+
+    pg = jax.jit(lambda l, ss, lt: lane_ops.position(geo, l, ss, lt))(lanes, s, lat)
+    ps = jax.jit(lambda l, ss, lt: lane_ops.position_select(geo, l, ss, lt))(lanes, s, lat)
+    np.testing.assert_array_equal(np.asarray(pg), np.asarray(ps))
+
+    hg = jax.jit(lambda l, ss: lane_ops.heading_at(geo, l, ss))(lanes, s)
+    hs = jax.jit(lambda l, ss: lane_ops.heading_at_select(geo, l, ss))(lanes, s)
+    np.testing.assert_array_equal(np.asarray(hg), np.asarray(hs))
+
+    lg = jax.jit(lambda l, p_: lane_ops.local_coordinates(geo, l, p_))(lanes, pos)
+    ls = jax.jit(lambda l, p_: lane_ops.local_coordinates_select(geo, l, p_))(lanes, pos)
+    for a, b in zip(lg, ls):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # select_table matches direct indexing (incl. +inf speed limits)
+    st = lane_ops.select_table(geo.speed_limit, lanes, L)
+    direct = geo.speed_limit[lane_ops._gather(geo, lanes)]
+    np.testing.assert_array_equal(np.asarray(st), np.asarray(direct))
+
+
+def test_select_forms_poly_fallback():
+    """On networks with POLY lanes the select forms fall back to the gather
+    implementations (sample banks need real gathers)."""
+    from highwayenv_tpu.road.network import PolyLaneFixedWidth
+
+    net = RoadNetworkBuilder()
+    net.add_lane("a", "b", StraightLane([0, 0], [50, 0]))
+    net.add_lane(
+        "a", "c", PolyLaneFixedWidth([[0, 4], [20, 6], [40, 10], [60, 20]])
+    )
+    geo = net.build()
+    lanes = jnp.asarray([0, 1], jnp.int32)
+    s = jnp.asarray([5.0, 15.0], jnp.float32)
+    lat = jnp.zeros(2, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(lane_ops.position_select(geo, lanes, s, lat)),
+        np.asarray(lane_ops.position(geo, lanes, s, lat)),
+    )

@@ -58,3 +58,35 @@ def test_sharded_rollout_continuous_actions():
     states, metrics = rollout(states, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["mean_reward"]))
     assert float(metrics["obs_checksum"]) != 0.0
+
+
+def test_fresh_pool_rollout_assigns_unique_fresh_scenes():
+    """fresh_pool mode: done envs draw prefix-assigned fresh resets — every
+    reset in a step gets a DISTINCT fresh scene (unlike pooled_rollout_fn's
+    rotating bank), so the episode-start distribution matches the exact
+    in-step autoreset."""
+    env = ht.make(
+        "highway-fast-v0",
+        {"vehicles_count": 5, "lanes_count": 2, "duration": 2},
+    )
+    mesh = make_mesh(jax.devices())
+    B = 4 * len(jax.devices())
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, states = jax.jit(jax.vmap(env._reset))(keys)
+    states = shard_batch(states, mesh)
+    rollout = sharded_rollout_fn(env, mesh, horizon=10, fresh_pool=B)
+    states, metrics = rollout(states, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert float(metrics["done_rate"]) > 0.0, "duration=2 must force resets"
+    # a second call continues from the donated carry
+    states, metrics = rollout(states, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["mean_reward"]))
+
+    # prefix assignment: in a single batched autoreset step, done envs'
+    # replacement scenes are pairwise distinct
+    env2 = ht.make("highway-fast-v0", {"vehicles_count": 8})
+    keys2 = jax.random.split(jax.random.PRNGKey(3), 6)
+    _, pool = jax.jit(jax.vmap(env2._reset))(keys2)
+    pos = np.asarray(pool.vehicles.pos).reshape(6, -1)
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    assert (d + np.eye(6) * 1e9 > 1e-3).all(), "fresh resets must differ"
