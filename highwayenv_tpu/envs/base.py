@@ -95,6 +95,10 @@ class BaseEnv:
     #: set False to force the general frame kernel even on straight networks
     fast_straight = True
 
+    #: general-path (analytic curved network) pallas kernel
+    #: (ops/general_pallas_bm.py::try_general gates eligibility)
+    fast_general = True
+
     #: pallas block width for the batched straight-path kernel
     pallas_block = 128
 
@@ -122,6 +126,23 @@ class BaseEnv:
         except Exception:
             return False
 
+    def _use_pallas_general(self, batch: int) -> bool:
+        """General-path pallas kernel: TPU platform + eligible analytic
+        network (``self._general``) + batch a multiple of the block width."""
+        import os
+
+        if os.environ.get("HT_NO_PALLAS"):
+            return False
+        if (
+            getattr(self, "_general", None) is None
+            or batch % self.pallas_block != 0
+        ):
+            return False
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
+
     def _build(self):
         self._build_scene()  # subclass: sets self.net / self.geo / slots
         self._build_spaces()
@@ -135,6 +156,19 @@ class BaseEnv:
         )
         if self.regulated:
             self._straight = None  # regulation needs the general path
+        # analytic (curved) networks get the general-path pallas megakernel
+        # (ops/general_pallas_bm.py) — the XLA general frame is
+        # op-launch-bound at small V (BASELINE.md, 2026-08-18)
+        from highwayenv_tpu.ops import general_pallas_bm
+
+        try:
+            self._general = (
+                general_pallas_bm.try_general(self)
+                if self.fast_general
+                else None
+            )
+        except Exception:
+            self._general = None
         self.dt = 1.0 / self.config["simulation_frequency"]
         self.frames_per_step = int(
             self.config["simulation_frequency"] // self.config["policy_frequency"]
@@ -799,14 +833,36 @@ class BaseEnv:
         was neutral-to-negative there (the lane-table projections, not the
         pair matrices, dominate; see BASELINE.md).
         """
-        if type(self)._step is not BaseEnv._step or self._straight is None:
+        B = states.time.shape[0]
+        general = (
+            type(self)._step is BaseEnv._step
+            and self._straight is None
+            and self._use_pallas_general(B)
+        )
+        if type(self)._step is not BaseEnv._step or (
+            self._straight is None and not general
+        ):
             return jax.vmap(self.step_autoreset)(states, actions)
         slot_actions = jax.vmap(self._action_to_slots)(actions)
         states = states.replace(
             time=states.time + 1.0 / self.config["policy_frequency"]
         )
 
-        B = states.time.shape[0]
+        if general:
+            # general-path megakernel: all frames of one policy step in one
+            # VMEM-resident pallas_call (ops/general_pallas_bm.py)
+            from highwayenv_tpu.ops.general_pallas_bm import (
+                pallas_simulate_general,
+            )
+
+            veh = pallas_simulate_general(
+                self, states.vehicles, slot_actions, self.frames_per_step
+            )
+            states = states.replace(
+                vehicles=veh, steps=states.steps + self.frames_per_step
+            )
+            return jax.vmap(self._finish_autoreset)(states, actions)
+
         if self._use_pallas(B):
             # batch-minor pallas frame kernel: whole frame VMEM-resident
             # per 128-env block (ops/straight_pallas_bm.py)

@@ -363,6 +363,13 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     )
     cos_slip = jnp.sqrt(jnp.maximum(1.0 - sin_slip * sin_slip, 0.0))
     steer_pc = _atan2_pos_x(2 * sin_slip, cos_slip)
+    # steering_from_coords clips at the source (controller.py:145-187),
+    # so the ego branch below must see the CLIPPED value too — the ego
+    # saturates this bound when turning onto a new edge at low speed
+    steer_pc = jnp.clip(
+        steer_pc, -controller.MAX_STEERING_ANGLE,
+        controller.MAX_STEERING_ANGLE,
+    )
     feat_h = (
         wrap_to_pi(fs.theta - f["heading"]) * f["length"] / not_zero(f["speed"])
     )
