@@ -818,20 +818,47 @@ class BaseEnv:
         """Batched autoreset step over a leading env axis.
 
         Semantically ``jax.vmap(self.step_autoreset)`` — and that is the
-        fallback — but on straight fast-path networks the simulation frames
-        run batch-minor: state is transposed to (V, ..., B) so the batch
-        rides the 128-wide TPU lane dimension and the (V, V, B) pair
-        matrices of the IDM/MOBIL kernels waste no vector lanes (batch-major
-        pads V=51 -> 128 on the minor axis instead, ~2.5x).  Observation,
-        reward and autoreset stay vmapped (they are batch-major friendly:
-        per-ego rows, no pair matrices).
+        fallback — but the simulation frames run through the batched
+        kernels of ``_simulate_batched`` where eligible (pallas megakernels
+        / batch-minor XLA).  Observation, reward and autoreset stay vmapped
+        (they are batch-major friendly: per-ego rows, no pair matrices).
+        """
+        sim = self._simulate_batched(states, actions)
+        if sim is None:
+            return jax.vmap(self.step_autoreset)(states, actions)
+        return jax.vmap(self._finish_autoreset)(sim, actions)
+
+    def step_batched(self, states: EnvState, actions):
+        """Batched step WITHOUT autoreset: ``jax.vmap(self._step)`` with the
+        sim frames routed through the batched kernels where eligible.
+
+        This is the building block for rollout drivers that handle episode
+        ends themselves (e.g. ``sharded_rollout_fn(fresh_pool=...)``, which
+        assigns pre-computed fresh scenes to done envs) — calling
+        ``jax.vmap(self._step)`` directly would silently drop the pallas
+        fast paths (measured 4.7x slower on highway-v0 @ B=4096)."""
+        sim = self._simulate_batched(states, actions)
+        if sim is None:
+            return jax.vmap(self._step)(states, actions)
+        return jax.vmap(self._finish_step)(sim, actions)
+
+    def _simulate_batched(self, states: EnvState, actions):
+        """Run one policy step's simulation frames over a leading env axis,
+        or return None when only the generic vmapped path applies.
+
+        On straight fast-path networks the frames run batch-minor: state is
+        transposed to (V, ..., B) so the batch rides the 128-wide TPU lane
+        dimension and the (V, V, B) pair matrices of the IDM/MOBIL kernels
+        waste no vector lanes (batch-major pads V=51 -> 128 on the minor
+        axis instead, ~2.5x); above the pallas gate the whole policy step is
+        one VMEM-resident megakernel.
 
         Envs that override ``_step`` (intersection's post-step spawning,
-        lane-keeping's LPV tracking) fall back to the vmapped path — the
-        batched pipeline reimplements only the base step.  General-path
-        (non-straight) envs also fall back: measured on TPU, batch-minor
-        was neutral-to-negative there (the lane-table projections, not the
-        pair matrices, dominate; see BASELINE.md).
+        lane-keeping's LPV tracking) return None — the batched pipeline
+        reimplements only the base step.  General-path (non-straight) envs
+        below the general-kernel gate also return None: measured on TPU,
+        batch-minor was neutral-to-negative there (the lane-table
+        projections, not the pair matrices, dominate; see BASELINE.md).
         """
         B = states.time.shape[0]
         general = (
@@ -842,7 +869,7 @@ class BaseEnv:
         if type(self)._step is not BaseEnv._step or (
             self._straight is None and not general
         ):
-            return jax.vmap(self.step_autoreset)(states, actions)
+            return None
         slot_actions = jax.vmap(self._action_to_slots)(actions)
         states = states.replace(
             time=states.time + 1.0 / self.config["policy_frequency"]
@@ -858,10 +885,9 @@ class BaseEnv:
             veh = pallas_simulate_general(
                 self, states.vehicles, slot_actions, self.frames_per_step
             )
-            states = states.replace(
+            return states.replace(
                 vehicles=veh, steps=states.steps + self.frames_per_step
             )
-            return jax.vmap(self._finish_autoreset)(states, actions)
 
         if self._use_pallas(B):
             # batch-minor pallas frame kernel: whole frame VMEM-resident
@@ -871,10 +897,9 @@ class BaseEnv:
             veh = pallas_simulate_bm(
                 self, states.vehicles, slot_actions, self.frames_per_step
             )
-            states = states.replace(
+            return states.replace(
                 vehicles=veh, steps=states.steps + self.frames_per_step
             )
-            return jax.vmap(self._finish_autoreset)(states, actions)
 
         def t(x):
             return jnp.moveaxis(x, 0, -1)
@@ -902,9 +927,7 @@ class BaseEnv:
             sbody, veh_t, jnp.arange(self.frames_per_step)
         )
 
-        states = states.replace(
+        return states.replace(
             vehicles=jax.tree.map(ut, veh_t),
             steps=states.steps + self.frames_per_step,
         )
-
-        return jax.vmap(self._finish_autoreset)(states, actions)

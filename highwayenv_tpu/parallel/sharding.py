@@ -84,7 +84,10 @@ def sharded_rollout_fn(
                     states, acts
                 )
             else:
-                obs, new_states, r, term, trunc, _ = jax.vmap(env._step)(
+                # step_batched, NOT jax.vmap(env._step): the batched entry
+                # keeps the pallas fast paths (vmapped _step is 4.7x slower
+                # on highway-v0 @ B=4096)
+                obs, new_states, r, term, trunc, _ = env.step_batched(
                     states, acts
                 )
                 done = term | trunc

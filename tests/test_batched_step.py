@@ -25,6 +25,21 @@ def test_batched_step_matches_vmapped(env_id):
         )
 
 
+@pytest.mark.parametrize("env_id", ["highway-fast-v0"])
+def test_step_batched_matches_vmapped_step(env_id):
+    """step_batched (no autoreset — the fresh-pool rollout's building
+    block) must match vmapped _step exactly on the batch-minor path."""
+    env = ht.make(env_id)
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    _, states = jax.vmap(env._reset)(keys)
+    acts = jnp.arange(B, dtype=jnp.int32) % env.action_type.n
+    a = jax.jit(env.step_batched)(states, acts)
+    b = jax.jit(jax.vmap(env._step))(states, acts)
+    for xa, xb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
+
+
 def test_pallas_core_matches_fast_path():
     from highwayenv_tpu.ops import straight_fast
     from highwayenv_tpu.ops.straight_pallas_bm import pallas_simulate_bm
