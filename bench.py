@@ -97,6 +97,18 @@ def main():
 
     steps_per_sec = B * T * chunks / dt
     per_chip = steps_per_sec / n_dev
+
+    # MFU vs the VPU f32 roofline (accounting in docs/kernels.md): the sim is
+    # pair-interaction VPU work, not MXU matmuls, so utilization is measured
+    # against the vector unit's f32 peak.  TPU v5e: 8 sublanes x 128 lanes x
+    # 4 ALUs x 2 (FMA) x ~0.94 GHz ~= 7.7e12 f32 FLOP/s/chip.  Logical FLOP
+    # count per env-step is the kernel's own accounting (BASELINE.md roofline
+    # notes: ~2.5 MFLOP per env-frame of (V,V) pair work at V=51, 15
+    # frames/policy-step for highway-v0) — logical means useful math only,
+    # no padding waste, so this is a conservative (lower-bound) utilization.
+    vpu_peak = float(os.environ.get("BENCH_VPU_PEAK_F32", 7.7e12))
+    flops_per_step = float(os.environ.get("BENCH_FLOPS_PER_STEP", 37.5e6))
+    mfu = per_chip * flops_per_step / vpu_peak
     print(
         json.dumps(
             {
@@ -104,6 +116,7 @@ def main():
                 "value": round(per_chip, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(per_chip / ref_sps, 1),
+                "mfu": round(mfu, 4),
             }
         )
     )

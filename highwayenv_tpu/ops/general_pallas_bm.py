@@ -38,7 +38,7 @@ racetrack; straight networks keep their specialized kernel; intersection
 (regulated + custom ``_step``) and lane-keeping (custom ``_step``) fall
 back to XLA.
 
-Numerics: inverse trig via the cephes polynomials of ops/straight_pallas
+Numerics: inverse trig via the cephes polynomials of ops/mosaic_math
 (PARITY.md #17); everything else f32 VPU math identical in form to the XLA
 path.  Cross-validated frame-by-frame against ``BaseEnv._frame`` in
 tests/test_general_pallas.py.
@@ -53,7 +53,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from highwayenv_tpu.ops.straight_pallas import _asin, _atan, _atan2_pos_x, _tan
+from highwayenv_tpu.ops.mosaic_math import _asin, _atan, _atan2_pos_x, _tan
 from highwayenv_tpu.utils.math import not_zero, wrap_to_pi
 from highwayenv_tpu.utils.math import rects_intersecting_xy_folded
 from highwayenv_tpu.vehicle import controller

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from highwayenv_tpu.ops.straight_fast import StraightGeo
-from highwayenv_tpu.ops.straight_pallas import _asin, _atan, _atan2_pos_x, _tan
+from highwayenv_tpu.ops.mosaic_math import _asin, _atan, _atan2_pos_x, _tan
 from highwayenv_tpu.utils.math import not_zero, wrap_to_pi
 from highwayenv_tpu.vehicle import controller
 from highwayenv_tpu.vehicle.behavior import IDMParams

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 import highwayenv_tpu as ht
-from highwayenv_tpu.ops.straight_pallas import FIELDS, frame_core, pack, unpack
+from scripts.attic.straight_pallas_retired import FIELDS, frame_core, pack, unpack
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "minor"
 block = int(sys.argv[2]) if len(sys.argv) > 2 else 128
