@@ -15,12 +15,14 @@ The jitted ``jax.random`` reset path remains for high-throughput rollouts
 (PARITY #6); this host path backs the Gymnasium adapter and the parity
 suite.
 
-Supported: every registered id except racetrack-oval (whose parametric
-layout draws a host RNG for the road itself, PARITY #11) — highway
-(+fast), merge (+generic), roundabout (+generic), parking (+variants),
-intersection (incl. the 3 s warm-up, which consumes no draws in the
-reference and is simulated with the device engine), two-way, u-turn,
-exit, racetrack (+large), lane-keeping.
+Supported: every registered id — highway (+fast), merge (+generic),
+roundabout (+generic), parking (+variants), intersection (incl. the 3 s
+warm-up, which consumes no draws in the reference and is simulated with
+the device engine), two-way, u-turn, exit, racetrack (+large +oval),
+lane-keeping.  The one excluded *mode* is racetrack-oval with a random
+layout (length=0 / no_lanes=0): the reference's layout RNG is unseeded
+(`np.random.default_rng()`, racetrack_env.py:939), so the reference
+itself is non-reproducible there and the jax reset path is used.
 """
 
 from __future__ import annotations
@@ -659,15 +661,21 @@ def _random_lane_index(net, rng):
     return (_from, _to, _id)
 
 
-def _spawns_racetrack(env, rng):
-    """RacetrackEnv._make_vehicles (envs/racetrack_env.py:374-426)."""
+def _spawns_racetrack(env, rng, n_first=2):
+    """RacetrackEnv._make_vehicles (envs/racetrack_env.py:374-426).
+
+    ``n_first`` is the ego's first-lane draw width: the base/large tracks
+    draw ``rng.integers(2)`` (racetrack_env.py:385); the oval draws
+    ``rng.integers(no_lanes)`` (racetrack_env.py:1352) — everything else
+    in the draw schedule is identical between the two.
+    """
     net = env.net
     cfg = env.config
     objs = []
     lane_index = None
     for i in range(cfg["controlled_vehicles"]):
         lane_index = (
-            ("a", "b", int(rng.integers(2)))
+            ("a", "b", int(rng.integers(n_first)))
             if i == 0
             else _random_lane_index(net, rng)
         )
@@ -683,7 +691,7 @@ def _spawns_racetrack(env, rng):
     if cfg["other_vehicles"] > 0:
         front = _make_on_lane(
             net,
-            ("b", "c", lane_index[-1]),
+            ("b", "c", int(lane_index[-1])),
             longitudinal=float(
                 rng.uniform(0.0, net.get_lane(("b", "c", 0)).length)
             ),
@@ -707,6 +715,20 @@ def _spawns_racetrack(env, rng):
             ):
                 objs.append(v)
     return objs
+
+
+def _spawns_racetrack_oval(env, rng):
+    """RacetrackEnvOval._make_vehicles (envs/racetrack_env.py:1340-1393).
+
+    Identical draw schedule to the base racetrack except the ego's first
+    lane is drawn over all ``no_lanes`` lanes.  The oval's *layout* RNG
+    (racetrack_env.py:939 ``np.random.default_rng()``) is unseeded in the
+    reference and consumes no draws under the default config
+    (length/no_lanes both non-zero); with length=0 or no_lanes=0 the
+    reference itself is non-reproducible, so that mode stays on the jax
+    reset path.
+    """
+    return _spawns_racetrack(env, rng, n_first=int(env.config["no_lanes"]))
 
 
 def _spawn_vehicle_intersection(env, rng, vehicles, longitudinal=0.0,
@@ -843,6 +865,7 @@ _BUILDERS = {
     "UTurnEnv": _spawns_u_turn,
     "ExitEnv": _spawns_exit,
     "RacetrackEnv": _spawns_racetrack,
+    "RacetrackEnvOval": _spawns_racetrack_oval,
     "LaneKeepingEnv": _spawns_lane_keeping,
     "MergeGenericEnv": _spawns_merge_generic,
     "RoundaboutGenericEnv": _spawns_roundabout_generic,
@@ -851,14 +874,21 @@ _BUILDERS = {
 
 # subclasses whose reference _make_vehicles DIFFERS from the parent they
 # inherit from here — the parent's draw replay would silently produce a
-# wrong seeded scene, so they fall back to the jax reset path
-_EXCLUDED = {"RacetrackEnvOval"}
+# wrong seeded scene, so they fall back to the jax reset path.  The oval
+# with a RANDOM layout (length=0 or no_lanes=0) is excluded at runtime in
+# supports_seeded_reset below: the reference's layout RNG is unseeded
+# (racetrack_env.py:939), so there is nothing to replay.
+_EXCLUDED = set()
 
 
 def supports_seeded_reset(env) -> bool:
     for cls in type(env).__mro__:
         if cls.__name__ in _EXCLUDED:
             return False
+        if cls.__name__ == "RacetrackEnvOval" and (
+            not env.config.get("length") or not env.config.get("no_lanes")
+        ):
+            return False  # random layout = unseeded host RNG in the reference
         if cls.__name__ in _BUILDERS or cls.__name__ == "IntersectionEnv":
             return True
     return False

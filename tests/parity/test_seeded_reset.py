@@ -33,6 +33,7 @@ ENV_IDS = [
     "exit-v0",
     "racetrack-v0",
     "racetrack-large-v0",
+    "racetrack-oval-v0",
     "lane-keeping-v0",
     "merge-generic-v0",
     "roundabout-generic-v0",
