@@ -891,10 +891,25 @@ class BaseEnv:
 
         if self._use_pallas(B):
             # batch-minor pallas frame kernel: whole frame VMEM-resident
-            # per 128-env block (ops/straight_pallas_bm.py)
-            from highwayenv_tpu.ops.straight_pallas_bm import pallas_simulate_bm
+            # per 128-env block (ops/straight_pallas_bm.py).  Lean scenes
+            # (vehicles only) use the s-sorted banded collision variant —
+            # the dense (V, V, blk) SAT was ~80% of the kernel's cost and
+            # collapses to a few reach-gated rank diagonals
+            # (HT_SORTED_OFF=1 restores the dense pass).
+            import os as _os
 
-            veh = pallas_simulate_bm(
+            from highwayenv_tpu.ops.straight_pallas_bm import (
+                pallas_simulate_bm,
+                pallas_simulate_bm_sorted,
+            )
+
+            lean = bool(getattr(self, "pallas_lean", True))
+            sim = (
+                pallas_simulate_bm_sorted
+                if lean and not _os.environ.get("HT_SORTED_OFF")
+                else pallas_simulate_bm
+            )
+            veh = sim(
                 self, states.vehicles, slot_actions, self.frames_per_step
             )
             return states.replace(

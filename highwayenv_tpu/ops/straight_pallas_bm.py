@@ -110,8 +110,236 @@ def unpack_bm(arrays: list, veh: VehicleState) -> VehicleState:
     )
 
 
+#: rank window for the sorted banded collision pass: pairs further apart
+#: than this many ranks in the per-step s-sorted layout are only checked by
+#: the (cheap, conservative-exact) suffix-scan violation test, which falls
+#: back to the dense SAT when any such pair could be within collision reach.
+#: W=12 means 12 vehicles packed within one collision reach (~10 m) before
+#: the dense path is ever needed — far beyond any physical pile-up.
+SORT_WINDOW = 12
+
+
+def _collisions_sorted_lean(f, dt, px, py, heading, speed,
+                            crashed_f, pend_left, impact_x0, impact_y0,
+                            ux, uy, ox, oy, W=SORT_WINDOW):
+    """Banded swept-SAT collision pass for the s-sorted vehicle layout.
+
+    The caller (``pallas_simulate_bm_sorted``) sorts the slot axis by
+    longitudinal position once per policy step, so colliding pairs are
+    rank-local: SAT runs only on the W nearest rank diagonals (via
+    ``pltpu.roll``), each gated by an exact sphere pre-check and skipped
+    with ``lax.cond`` when no pair on that diagonal is within reach.
+    Exactness is guaranteed by construction:
+
+    - the sphere pre-check (dist^2 <= reach^2) is the SAME gate the dense
+      pass applies (road collision protocol, ops/collision.py), so a pair
+      outside it contributes nothing in either formulation;
+    - pairs beyond the rank window are covered by a conservative suffix
+      -scan violation test — if ANY far-rank pair could be within the
+      global max reach, the whole frame falls back to the dense pair SAT
+      (identical results, just slower).  The test over-flags but never
+      under-flags, so banded results are exact whenever used.
+
+    Per-pair math and role assignment match the dense pass: SAT roles
+    follow the lower *original* index (the ``idx`` const field carries it
+    through the sort), impact contributions are +0.5t toward self /
+    -0.5t toward partner (orientation is role-symmetric, see the dense
+    accumulation in ``_frame_body``), and reach uses the lower-index
+    member's speed exactly as road.py:477-481's list order implies.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+    from highwayenv_tpu.utils.math import rects_intersecting_xy_folded
+
+    V, blk = px.shape
+    W = min(W, V - 1)
+    idx = f["idx"]
+    # mosaic cannot pass i1 vectors across scf.if boundaries (operands or
+    # results), so everything a lax.cond branch closes over or returns is
+    # kept f32 (0/1 flags); bool temporaries live only inside one branch
+    act_f = jnp.where(f["kind"] > 0.5, 1.0, 0.0)
+    chk_f = jnp.where(f["check_collisions"] > 0.5, 1.0, 0.0)
+    coll_f = jnp.where(f["collidable"] > 0.5, 1.0, 0.0)
+    pend_f = jnp.where(pend_left, 1.0, 0.0)
+    length, width = f["length"], f["width"]
+    diag = jnp.sqrt(length * length + width * width)
+    velx = speed * jnp.cos(heading)
+    vely = speed * jnp.sin(heading)
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (V, blk), 0).astype(F32)
+    INF = jnp.float32(1e9)
+
+    def roll_up(x, k):
+        """out[r] = x[(r + k) mod V] — pltpu.roll takes only non-negative
+        shifts, so the upward shift is expressed as V - k."""
+        return pltpu.roll(x, V - k, 0)
+
+    # --- conservative exact window-violation test (suffix scans) -------- #
+    # flags every far-rank pair that could pass the sphere pre-check:
+    # exists r' > r + W with |s_r' - s_r| <= R_max.  Uses suffix min/max of
+    # s (log-doubling rolls), so a true violation always raises the flag;
+    # straddling far values may over-flag (costs a dense frame, never
+    # correctness).
+    s_new = (px - ox) * ux + (py - oy) * uy
+    is_act = act_f > 0.5
+    R = jnp.max(jnp.where(is_act, diag, 0.0)) + jnp.max(
+        jnp.where(is_act, speed, 0.0)
+    ) * dt
+    smin = jnp.where(is_act, s_new, INF)
+    smax = jnp.where(is_act, s_new, -INF)
+    k = 1
+    while k < V:
+        ok_k = row2 < float(V - k)
+        smin = jnp.where(
+            ok_k, jnp.minimum(smin, roll_up(smin, k)), smin
+        )
+        smax = jnp.where(
+            ok_k, jnp.maximum(smax, roll_up(smax, k)), smax
+        )
+        k *= 2
+    off = W + 1
+    in_rng = row2 < float(V - off)
+    sm = jnp.where(in_rng, roll_up(smin, off), INF)
+    sx = jnp.where(in_rng, roll_up(smax, off), -INF)
+    flag = is_act & (sm <= s_new + R) & (sx >= s_new - R)
+    viol = jnp.max(jnp.where(flag, 1.0, 0.0)) > 0.5
+
+    def dense(_):
+        """Exact fallback: the dense pair SAT with roles by original index
+        (enumerates each unordered pair once, lower index as rect A — the
+        reference's list order, road.py:477-481)."""
+        def anyf(x, axis):
+            return jnp.max(jnp.where(x, 1.0, 0.0), axis=axis) > 0.5
+
+        upper = idx[:, None, :] < idx[None, :, :]
+        pair_ok = (
+            upper
+            & (act_f[:, None, :] > 0.5) & (act_f[None, :, :] > 0.5)
+            & ((chk_f[:, None, :] > 0.5) | (chk_f[None, :, :] > 0.5))
+            & (coll_f[:, None, :] > 0.5) & (coll_f[None, :, :] > 0.5)
+        )
+        dx = px[:, None, :] - px[None, :, :]
+        dy = py[:, None, :] - py[None, :, :]
+        dist2 = dx * dx + dy * dy
+        reach = (diag[:, None, :] + diag[None, :, :]) / 2 + speed[
+            :, None, :
+        ] * dt
+        pair_ok = pair_ok & (dist2 <= reach * reach)
+        inter, will, tx, ty = rects_intersecting_xy_folded(
+            px[:, None, :], py[:, None, :],
+            length[:, None, :], width[:, None, :], heading[:, None, :],
+            px[None, :, :], py[None, :, :],
+            length[None, :, :], width[None, :, :], heading[None, :, :],
+            relx=(velx[:, None, :] - velx[None, :, :]) * dt,
+            rely=(vely[:, None, :] - vely[None, :, :]) * dt,
+        )
+        inter = inter & pair_ok
+        w = will & pair_ok
+        wf = jnp.where(w, 1.0, 0.0)
+        ix = impact_x0 + 0.5 * (
+            jnp.sum(wf * tx, axis=1) - jnp.sum(wf * tx, axis=0)
+        )
+        iy = impact_y0 + 0.5 * (
+            jnp.sum(wf * ty, axis=1) - jnp.sum(wf * ty, axis=0)
+        )
+        pend = (pend_f > 0.5) | anyf(w, 1) | anyf(w, 0)
+        crashed = (crashed_f > 0.5) | anyf(inter, 1) | anyf(inter, 0)
+        return (
+            jnp.where(crashed, 1.0, 0.0), jnp.where(pend, 1.0, 0.0), ix, iy
+        )
+
+    def banded(_):
+        crashed = crashed_f
+        pend = pend_f
+        ix = impact_x0
+        iy = impact_y0
+        for d in range(1, W + 1):
+            s_p = roll_up(s_new, d)
+            act_p = roll_up(act_f, d)
+            near = (
+                (row2 < float(V - d)) & (act_f > 0.5) & (act_p > 0.5)
+                & (jnp.abs(s_p - s_new) <= R)
+            )
+            any_near = jnp.max(jnp.where(near, 1.0, 0.0)) > 0.5
+
+            def fire(_, d=d):
+                px_p = roll_up(px, d)
+                py_p = roll_up(py, d)
+                h_p = roll_up(heading, d)
+                sp_p = roll_up(speed, d)
+                vx_p = roll_up(velx, d)
+                vy_p = roll_up(vely, d)
+                l_p = roll_up(length, d)
+                w_p = roll_up(width, d)
+                dg_p = roll_up(diag, d)
+                chk_p = roll_up(chk_f, d)
+                coll_p = roll_up(coll_f, d)
+                act_p2 = roll_up(act_f, d)
+                idx_p = roll_up(idx, d)
+                # reach uses the lower-original-index member's speed (the
+                # dense pass's q row); booleans and the toward-self MTV
+                # are role-symmetric so no other swap is needed
+                speed_a = jnp.where(idx > idx_p, sp_p, speed)
+                reach = (diag + dg_p) / 2 + speed_a * dt
+                dx = px - px_p
+                dy = py - py_p
+                ok = (
+                    (row2 < float(V - d))
+                    & (act_f > 0.5) & (act_p2 > 0.5)
+                    & ((chk_f > 0.5) | (chk_p > 0.5))
+                    & (coll_f > 0.5) & (coll_p > 0.5)
+                    & (dx * dx + dy * dy <= reach * reach)
+                )
+                inter, will, tx, ty = rects_intersecting_xy_folded(
+                    px, py, length, width, heading,
+                    px_p, py_p, l_p, w_p, h_p,
+                    relx=(velx - vx_p) * dt,
+                    rely=(vely - vy_p) * dt,
+                )
+                inter_f = jnp.where(inter & ok, 1.0, 0.0)
+                wf = jnp.where(will & ok, 1.0, 0.0)
+                return inter_f, wf, 0.5 * wf * tx, 0.5 * wf * ty
+
+            def skip(_):
+                z = jnp.zeros_like(s_new)
+                return z, z, z, z
+
+            if _sort_mode() in ("noinner", "nocond"):
+                inter_f, wf, cx, cy = fire(())
+            else:
+                inter_f, wf, cx, cy = jax.lax.cond(any_near, fire, skip, ())
+            # partner-side contributions land d ranks ahead; rows wrapped
+            # by the roll carry zeros (masked inside fire)
+            crashed = jnp.maximum(
+                crashed, jnp.maximum(inter_f, pltpu.roll(inter_f, d, 0))
+            )
+            pend = jnp.maximum(pend, jnp.maximum(wf, pltpu.roll(wf, d, 0)))
+            ix = ix + cx - pltpu.roll(cx, d, 0)
+            iy = iy + cy - pltpu.roll(cy, d, 0)
+        return crashed, pend, ix, iy
+
+    mode = _sort_mode()
+    if mode == "nocond":
+        # timing experiment: banded always, violation fallback disabled —
+        # NOT exact (window escapes unhandled); never the default
+        crashed_o, pend_o, ix_o, iy_o = banded(())
+    elif mode == "dense":
+        crashed_o, pend_o, ix_o, iy_o = dense(())
+    else:
+        crashed_o, pend_o, ix_o, iy_o = jax.lax.cond(viol, dense, banded, ())
+    return crashed_o > 0.5, pend_o > 0.5, ix_o, iy_o
+
+
+def _sort_mode() -> str:
+    """Collision-pass structure knob for the sorted kernel (experiments):
+    full (default) | noinner (per-diagonal conds removed) | nocond (outer
+    fallback cond also removed — timing only, not exact) | dense."""
+    import os
+
+    return os.environ.get("HT_SORT_MODE", "full")
+
+
 def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
-                lean: bool, has_linear: bool, f: dict) -> dict:
+                lean: bool, has_linear: bool, sorted_mode: bool,
+                f: dict) -> dict:
     """One frame on (V, blk) f32 fields.  Pair tensors are (Vq, Vc, blk).
 
     ``lean``: scene statically contains only vehicles (no obstacles or
@@ -471,6 +699,22 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     # --- collisions (sphere pre-check + swept SAT, ops/collision.py) ------- #
     from highwayenv_tpu.utils.math import rects_intersecting_xy_folded
 
+    if lean and sorted_mode:
+        crashed_b, pend_b, impact_x, impact_y = _collisions_sorted_lean(
+            f, dt, px, py, heading, speed,
+            crashed_f, pend_left, impact_x, impact_y, ux, uy, ox, oy,
+        )
+        out = dict(f)
+        out.update(
+            px=px, py=py, heading=heading, speed=speed, lane=lane,
+            target_lane=target, timer=timer,
+            crashed=crashed_b.astype(F32), hit=f["hit"],
+            impact_pending=pend_b.astype(F32),
+            impact_x=impact_x, impact_y=impact_y,
+            steering=new_steer, accel=new_accel,
+        )
+        return out
+
     upper = row_i < col_i
     if lean:
         chk_q = f["check_collisions"][:, None, :] > 0.5
@@ -582,6 +826,7 @@ def build_pallas_frame(
     interpret: bool = False,
     vmem_limit_mb: int = int(__import__("os").environ.get("HT_PALLAS_VMEM_MB", 100)),
     frames: int = 1,
+    sorted_mode: bool = False,
 ):
     """Returns frame(arrays) -> arrays running ONE frame as a pallas_call
     over (V, B) f32 state arrays (BM_FIELDS order).
@@ -603,19 +848,23 @@ def build_pallas_frame(
     lean = bool(getattr(env, "pallas_lean", True))
     npc = env.config.get("other_vehicles_type", "").rsplit(".", 1)[-1]
     has_linear = npc in getattr(env, "_NPC_PRESETS", {})
-    body = functools.partial(_frame_body, fs, p, dt, raw, lean, has_linear)
-    n = len(BM_FIELDS)
+    body = functools.partial(
+        _frame_body, fs, p, dt, raw, lean, has_linear, sorted_mode
+    )
+    fields = BM_FIELDS + (["idx"] if sorted_mode else [])
+    const_fields = BM_CONST_FIELDS + (["idx"] if sorted_mode else [])
+    n = len(fields)
 
     n_mut = len(BM_MUT_FIELDS)
 
     def kernel(*refs):
-        f = {name: r[:] for name, r in zip(BM_FIELDS, refs[:n])}
+        f = {name: r[:] for name, r in zip(fields, refs[:n])}
         if frames == 1:
             out = body(f)
         else:
             # whole policy step VMEM-resident: no HBM round trip per frame.
             # the loop carry holds only the mutated fields
-            consts = {name: f[name] for name in BM_CONST_FIELDS}
+            consts = {name: f[name] for name in const_fields}
 
             def step(_i, mut):
                 return {
@@ -655,6 +904,68 @@ def build_pallas_frame(
         return list(mut_out) + list(arrays[n_mut:])
 
     return frame
+
+
+def pack_bm_sorted(veh: VehicleState, fs: StraightGeo):
+    """Like :func:`pack_bm` but with the slot axis sorted by longitudinal
+    position per env (stable, so equal-s ties keep original-index order —
+    the dense tie-break semantics).  Appends the original slot index as an
+    extra ``idx`` const field and returns the one-hot permutation matrix
+    for unsorting.
+
+    The permutation is applied as a one-hot einsum (precision="highest"),
+    NOT take_along_axis: per-row dynamic gathers lower catastrophically on
+    TPU (measured: gather-based sorting floored the whole pipeline at 22k
+    env-steps/s vs 108k) while the (V, V) one-hot contraction is exact
+    (0/1 x value) and negligible at these sizes."""
+    s = (veh.pos[..., 0] - float(fs.origin[0])) * float(fs.u[0]) + (
+        veh.pos[..., 1] - float(fs.origin[1])
+    ) * float(fs.u[1])
+    perm = jnp.argsort(s, axis=-1, stable=True)  # (..., V)
+    V = perm.shape[-1]
+    hot = (perm[..., :, None] == jnp.arange(V)[None, :]).astype(F32)
+    arrays = pack_bm(veh)  # list of (V, B)
+    stacked = jnp.stack([a.T for a in arrays], axis=-1)  # (B, V, n)
+    srt = jnp.einsum("brw,bwf->brf", hot, stacked, precision="highest")
+    out = [srt[..., i].T for i in range(len(arrays))]
+    out.append(perm.astype(F32).T)
+    return out, hot
+
+
+def unpack_bm_sorted(arrays: list, veh: VehicleState, hot) -> VehicleState:
+    """Inverse of :func:`pack_bm_sorted`: un-permute the mutated fields back
+    to the original slot order (ranks are static within a policy step) via
+    the transposed one-hot contraction."""
+    n_mut = len(BM_MUT_FIELDS)
+    stacked = jnp.stack([a.T for a in arrays[:n_mut]], axis=-1)  # (B, V, m)
+    orig = jnp.einsum("brv,brf->bvf", hot, stacked, precision="highest")
+    restored = [orig[..., i].T for i in range(n_mut)]
+    return unpack_bm(restored + list(arrays[n_mut:]), veh)
+
+
+def pallas_simulate_bm_sorted(
+    env, veh: VehicleState, slot_actions, frames: int,
+    block: int = 128, interpret: bool = False,
+) -> VehicleState:
+    """Policy-step simulation with the s-sorted slot layout: ego meta-action
+    in XLA, one stable argsort + gather per step (tiny (B, V) XLA work),
+    then all frames in the VMEM-resident megakernel whose collision pass is
+    banded over rank diagonals (``_collisions_sorted_lean``) — the dense
+    (V, V, blk) SAT, ~80% of the kernel's cost, collapses to a handful of
+    (V, blk) diagonals gated by reach."""
+    ego_mask = veh.kind == KIND_EGO
+    veh = env.action_type.apply(env.geo, veh, ego_mask, slot_actions)
+
+    key = (id(env), block, interpret, frames, "sorted")
+    cache = _FRAME_CACHE
+    if key not in cache:
+        cache[key] = build_pallas_frame(
+            env, block=block, interpret=interpret, frames=frames,
+            sorted_mode=True,
+        )
+    arrays, perm = pack_bm_sorted(veh, env._straight)
+    arrays = cache[key](arrays)
+    return unpack_bm_sorted(list(arrays), veh, perm)
 
 
 def pallas_simulate_bm(

@@ -88,3 +88,62 @@ def test_pallas_core_matches_fast_path():
         np.testing.assert_array_equal(
             np.asarray(veh_a.crashed), np.asarray(veh_b.crashed)
         )
+
+
+def test_sorted_banded_collisions_match_dense():
+    """The s-sorted banded collision kernel is bitwise-equal to the dense
+    pair SAT — including on a 20-vehicle pile-up that exercises the
+    far-rank violation check and its dense fallback branch."""
+    from highwayenv_tpu.ops.straight_pallas_bm import (
+        pallas_simulate_bm,
+        pallas_simulate_bm_sorted,
+    )
+
+    env = ht.make("highway-v0")
+    frames = env.frames_per_step
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    _, states = jax.vmap(env.reset)(keys)
+    veh = states.vehicles
+
+    dense = jax.jit(
+        lambda v, sa: pallas_simulate_bm(
+            env, v, sa, frames, block=B, interpret=True
+        )
+    )
+    srt = jax.jit(
+        lambda v, sa: pallas_simulate_bm_sorted(
+            env, v, sa, frames, block=B, interpret=True
+        )
+    )
+
+    # compressed spacing -> immediate collisions; pile-up -> >SORT_WINDOW
+    # vehicles within reach -> dense fallback fires
+    pos = np.asarray(veh.pos).copy()
+    pos[..., 0] *= 0.2
+    veh_compressed = veh.replace(pos=jnp.asarray(pos))
+    pos2 = np.asarray(veh.pos).copy()
+    pos2[0, :20, 0] = 100.0 + np.linspace(0, 6, 20)
+    veh_pileup = veh.replace(pos=jnp.asarray(pos2))
+
+    acts = jax.random.randint(jax.random.PRNGKey(4), (B,), 0, 5)
+    sa = jax.vmap(env._action_to_slots)(acts)
+    fields = [
+        "pos", "heading", "speed", "crashed", "impact_pending", "impact",
+        "lane", "target_lane", "timer", "steering", "accel", "hit",
+        "target_speed",
+    ]
+    for name, v in [
+        ("normal", veh),
+        ("compressed", veh_compressed),
+        ("pileup", veh_pileup),
+    ]:
+        d, s = dense(v, sa), srt(v, sa)
+        for fld in fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(d, fld)),
+                np.asarray(getattr(s, fld)),
+                err_msg=f"{name}:{fld}",
+            )
+        if name == "compressed":
+            assert np.asarray(d.crashed).sum() > 0  # collisions exercised
