@@ -156,6 +156,11 @@ class BaseEnv:
         )
         if self.regulated:
             self._straight = None  # regulation needs the general path
+        if self.config.get("sequential_decisions", False):
+            # the exact act()-list-order mode lives only in the general
+            # _frame path — the straight/pallas fast paths implement the
+            # parallel (pre-frame state) decision pass
+            self._straight = None
         # analytic (curved) networks get the general-path pallas megakernel
         # (ops/general_pallas_bm.py) — the XLA general frame is
         # op-launch-bound at small V (BASELINE.md, 2026-08-18)
@@ -165,6 +170,7 @@ class BaseEnv:
             self._general = (
                 general_pallas_bm.try_general(self)
                 if self.fast_general
+                and not self.config.get("sequential_decisions", False)
                 else None
             )
         except Exception:
@@ -297,29 +303,52 @@ class BaseEnv:
         geo = self.geo
         table_s, table_lat = tables
 
-        # every controlled/IDM vehicle first advances its target lane at lane
-        # ends (controller.py:98, behavior.py:106)
-        veh = controller.follow_road(geo, veh, self.max_edge_lanes, table_s)
-
-        # ego meta-action on the first frame of the policy step
-        ego_mask = (veh.kind == KIND_EGO) & first
-        veh = self.action_type.apply(geo, veh, ego_mask, slot_actions)
-
-        raw_controls = getattr(self.action_type, "stores_raw_controls", False)
-        if not raw_controls:
-            # low-level controls for externally-actioned vehicles
-            ego_steer, ego_acc = controller.controlled_vehicle_controls(
-                geo, veh, table_s, table_lat
-            )
-
-        # IDM/MOBIL NPC decisions (sees the ego's fresh targets, matching the
-        # reference's act() list order with the ego first)
-        veh, idm_steer, idm_acc = behavior.idm_act(
-            geo, self.idm_params, veh, table_s, table_lat,
-            connected=bool(
-                self.config.get("neighbour_vehicles_connected_lanes", False)
-            ),
+        connected = bool(
+            self.config.get("neighbour_vehicles_connected_lanes", False)
         )
+        raw_controls = getattr(self.action_type, "stores_raw_controls", False)
+        if self.config.get("sequential_decisions", False):
+            # exact reference act()-list-order mode (road/road.py:464-467):
+            # meta-action first (action_type.act precedes road.act,
+            # abstract.py:287-295), then a per-slot scan where follow_road
+            # and the MOBIL/abort decision of vehicle i observe the
+            # same-frame target-lane writes of vehicles j < i.  Opt-in
+            # parity path; the production path below evaluates decisions on
+            # pre-frame state (PARITY.md #1).
+            ego_mask = (veh.kind == KIND_EGO) & first
+            veh = self.action_type.apply(geo, veh, ego_mask, slot_actions)
+            veh, idm_steer, idm_acc = behavior.idm_act_sequential(
+                geo, self.idm_params, veh, table_s, table_lat,
+                self.max_edge_lanes, connected=connected,
+            )
+            if not raw_controls:
+                # ego controls from its final target (its own act computes
+                # them after its follow_road; later vehicles cannot touch
+                # its target, so post-scan evaluation is order-exact)
+                ego_steer, ego_acc = controller.controlled_vehicle_controls(
+                    geo, veh, table_s, table_lat
+                )
+        else:
+            # every controlled/IDM vehicle first advances its target lane at
+            # lane ends (controller.py:98, behavior.py:106)
+            veh = controller.follow_road(geo, veh, self.max_edge_lanes, table_s)
+
+            # ego meta-action on the first frame of the policy step
+            ego_mask = (veh.kind == KIND_EGO) & first
+            veh = self.action_type.apply(geo, veh, ego_mask, slot_actions)
+
+            if not raw_controls:
+                # low-level controls for externally-actioned vehicles
+                ego_steer, ego_acc = controller.controlled_vehicle_controls(
+                    geo, veh, table_s, table_lat
+                )
+
+            # IDM/MOBIL NPC decisions (sees the ego's fresh targets, matching
+            # the reference's act() list order with the ego first)
+            veh, idm_steer, idm_acc = behavior.idm_act(
+                geo, self.idm_params, veh, table_s, table_lat,
+                connected=connected,
+            )
 
         is_ego = veh.kind == KIND_EGO
         is_idm = (

@@ -268,16 +268,39 @@ def _heading_core(p: LaneParams, s: jnp.ndarray):
 
 def _local_core(p: LaneParams, pos: jnp.ndarray):
     delta = pos - p.start
-    s_str = jnp.einsum("...d,...d->...", delta, p.direction, precision="highest")
-    r_str = jnp.einsum(
-        "...d,...d->...", delta, p.direction_lateral, precision="highest"
-    )
+    if pos.dtype == jnp.float64:
+        # f64 parity path: bitwise-match the reference's np.dot (BLAS ddot
+        # fma accumulation) — see utils/math.py::dot2_ref.  lateral on
+        # circular lanes cancels catastrophically, so the last ulp of the
+        # dot decides the trace.
+        from highwayenv_tpu.utils.math import dot2_ref
+
+        s_str = dot2_ref(
+            delta[..., 0], delta[..., 1],
+            p.direction[..., 0], p.direction[..., 1],
+        )
+        r_str = dot2_ref(
+            delta[..., 0], delta[..., 1],
+            p.direction_lateral[..., 0], p.direction_lateral[..., 1],
+        )
+    else:
+        s_str = jnp.einsum(
+            "...d,...d->...", delta, p.direction, precision="highest"
+        )
+        r_str = jnp.einsum(
+            "...d,...d->...", delta, p.direction_lateral, precision="highest"
+        )
     r_sin = r_str - p.amplitude * jnp.sin(p.pulsation * s_str + p.phase)
     dc = pos - p.center
     phi = jnp.arctan2(dc[..., 1], dc[..., 0])
     sp = p.start_phase
     phi = sp + wrap_to_pi(phi - sp)
-    r = jnp.linalg.norm(dc, axis=-1)
+    if pos.dtype == jnp.float64:
+        from highwayenv_tpu.utils.math import dot2_ref
+
+        r = jnp.sqrt(dot2_ref(dc[..., 0], dc[..., 1], dc[..., 0], dc[..., 1]))
+    else:
+        r = jnp.linalg.norm(dc, axis=-1)
     s_cir = p.cw * (phi - sp) * p.radius
     r_cir = p.cw * (p.radius - r)
     s = jnp.where(p.kind == CIRCULAR, s_cir, s_str)

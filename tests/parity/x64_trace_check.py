@@ -44,6 +44,11 @@ def main(env_id: str, steps: int, seed: int, atol_per_t: float) -> int:
     ref = gym.make(env_id, config=cfg) if cfg else gym.make(env_id)
     ref.reset(seed=seed)
 
+    if os.environ.get("HT_SEQUENTIAL"):
+        # exact act()-list-order decision pass (PARITY.md #1 removed):
+        # required for seeds whose traces hit a same-frame lane-change
+        # interaction (e.g. u-turn seeds 0/3)
+        cfg = dict(cfg or {}, sequential_decisions=True)
     env = ht.make(env_id, cfg) if cfg else ht.make(env_id)
     # float64 lane tables (the build is float64 host math throughout;
     # only the final cast changes)
