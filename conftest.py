@@ -5,15 +5,23 @@ import sys
 # run on a host-platform mesh, never over the (slow, tunneled) real TPU chip.
 # NOTE: the container's sitecustomize force-sets JAX_PLATFORMS=axon, so the
 # env var alone is not enough — jax.config.update below is what sticks.
+#
+# HT_TPU=1 flips the suite onto the real chip — the on-hardware profile
+# (`HT_TPU=1 pytest tests/tpu -q`) re-verifies the compiled (non-interpret)
+# Pallas kernels against XLA each round; CPU-only CI cannot catch
+# Mosaic/MXU-class numeric bugs (the round-1 bf16 precision bug).
+HT_TPU = bool(os.environ.get("HT_TPU"))
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not HT_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not HT_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent XLA compilation cache: the suite's cost is dominated by CPU
 # compiles of the env kernels; a warm cache turns the default profile from

@@ -920,11 +920,13 @@ class BaseEnv:
 
         if self._use_pallas(B):
             # batch-minor pallas frame kernel: whole frame VMEM-resident
-            # per 128-env block (ops/straight_pallas_bm.py).  Lean scenes
-            # (vehicles only) use the s-sorted banded collision variant —
-            # the dense (V, V, blk) SAT was ~80% of the kernel's cost and
-            # collapses to a few reach-gated rank diagonals
-            # (HT_SORTED_OFF=1 restores the dense pass).
+            # per 128-env block (ops/straight_pallas_bm.py).  The s-sorted
+            # banded collision variant (HT_SORTED=1, lean scenes only) is
+            # bitwise-equal but measured ~10% SLOWER end-to-end on real TPU
+            # at the headline config (97.5k vs 108.7k, B=4096, 2026-08-19):
+            # the per-step sort/unsort one-hot einsums plus the per-diagonal
+            # scf.if overhead outweigh the SAT work the banding removes.
+            # Kept as an opt-in experiment — it may win at larger V.
             import os as _os
 
             from highwayenv_tpu.ops.straight_pallas_bm import (
@@ -935,7 +937,7 @@ class BaseEnv:
             lean = bool(getattr(self, "pallas_lean", True))
             sim = (
                 pallas_simulate_bm_sorted
-                if lean and not _os.environ.get("HT_SORTED_OFF")
+                if lean and _os.environ.get("HT_SORTED")
                 else pallas_simulate_bm
             )
             veh = sim(

@@ -109,7 +109,7 @@ def main(env_id, seed, steps=30):
             if d > 1e-9:
                 msgs.append(f"slot{slot}: pos diff {d:.2e}")
         print(f"t={t:2d} a={a} worst={worst:.2e} " + ("; ".join(msgs) if msgs else "ok"))
-        if worst > 1e-3:
+        if worst > float(os.environ.get("HT_DEBUG_BREAK", "1e-3")):
             break
 
 
