@@ -803,9 +803,10 @@ class BaseEnv:
         state = self._simulate(state, slot_actions)
         return self._finish_autoreset(state, action)
 
-    def _finish_autoreset(self, state: EnvState, action):
-        """Reward/termination + in-place reset select + single observe, for
-        an already-simulated state (single-env semantics; vmap outside)."""
+    def _finish_head(self, state: EnvState, action):
+        """Reward/termination/info head on an already-simulated state
+        (single-env semantics; vmap outside).  Shared by the full and
+        compact autoreset finishers."""
         state = self._push_frame(state)
         reward = self._reward(state, action)
         terminated = self._is_terminated(state)
@@ -816,7 +817,14 @@ class BaseEnv:
                 state.steps // self.frames_per_step >= mes
             )
         info = self._info(state, action)
+        return state, reward, terminated, truncated, info
 
+    def _finish_autoreset(self, state: EnvState, action):
+        """Reward/termination + in-place reset select + single observe, for
+        an already-simulated state (single-env semantics; vmap outside)."""
+        state, reward, terminated, truncated, info = self._finish_head(
+            state, action
+        )
         done = terminated | truncated
         k_reset, k_next = jax.random.split(state.key)
         _reset_obs, reset_state = self._reset(k_reset)  # obs branch DCE'd
@@ -843,7 +851,68 @@ class BaseEnv:
         obs = jax.tree.map(where_done, reset_obs, obs)
         return obs, state, reward, terminated, truncated, info
 
-    def step_autoreset_batched(self, states: EnvState, actions):
+    def _compact_autoreset(self, states, done, reset_slots: int, obs=None):
+        """Replace done rows with fresh per-row resets computed
+        ``reset_slots`` rows at a time instead of all B rows every step.
+
+        The plain in-step autoreset evaluates a full ``_reset`` for EVERY
+        env every step (XLA computes both select branches), which dominates
+        the step on warm-up-heavy envs (intersection's 45-frame warm-up:
+        ~13.5 ms of the ~39 ms step at B=1024).  This version gathers the
+        done rows' per-row reset keys into a (P,) slot buffer, runs
+        ``vmap(_reset)`` at batch P, and scatters the fresh rows back.
+
+        Exactness: each done row's scene is ``_reset(k_reset_row)`` with
+        the SAME per-row key split the full path uses, and a row's reset
+        program is row-local (no cross-batch reductions), so evaluating it
+        in a (P, ...) batch produces the same bits as in a (B, ...) batch.
+        Row-level reset determinism holds (unlike ``fresh_pool``), verified
+        bitwise in tests/envs/test_compact_autoreset.py.  Overflow-safe:
+        if more than ``reset_slots`` rows finish in one step the while_loop
+        takes another pass; on steps where NO row is done the body is
+        skipped entirely.
+
+        When ``obs`` is given (envs that compute obs inside ``_step``),
+        done rows' observations are replaced by the reset obs, matching
+        ``_autoreset``.  Designed for single-chip batched rollouts; under a
+        multi-device pjit the gather/scatter crosses shards and GSPMD may
+        insert collectives — shard_map a per-device batch instead.
+        """
+        B = done.shape[0]
+        P = min(int(reset_slots), B)
+        keys2 = jax.vmap(jax.random.split)(states.key)  # (B, 2, key)
+        k_reset, k_next = keys2[:, 0], keys2[:, 1]
+        carry_obs = obs is not None
+
+        def body(carry):
+            st, ob, mask = carry
+            n = jnp.sum(mask)
+            idx = jnp.flatnonzero(mask, size=P, fill_value=0)
+            valid = jnp.arange(P) < n
+
+            r_obs, rst = jax.vmap(self._reset)(k_reset[idx])
+            rst = rst.replace(key=k_next[idx])
+
+            def scatter(x, r):
+                v = jnp.reshape(valid, valid.shape + (1,) * (r.ndim - 1))
+                return x.at[idx].set(jnp.where(v, r, x[idx]))
+
+            st = jax.tree.map(scatter, st, rst)
+            if carry_obs:
+                ob = jax.tree.map(scatter, ob, r_obs)
+            mask = mask.at[idx].set(jnp.where(valid, False, mask[idx]))
+            return st, ob, mask
+
+        states, obs, _ = jax.lax.while_loop(
+            lambda c: jnp.any(c[2]),
+            body,
+            (states, obs if carry_obs else jnp.zeros(()), done),
+        )
+        return (states, obs) if carry_obs else states
+
+    def step_autoreset_batched(
+        self, states: EnvState, actions, reset_slots: int | None = None
+    ):
         """Batched autoreset step over a leading env axis.
 
         Semantically ``jax.vmap(self.step_autoreset)`` — and that is the
@@ -851,11 +920,39 @@ class BaseEnv:
         kernels of ``_simulate_batched`` where eligible (pallas megakernels
         / batch-minor XLA).  Observation, reward and autoreset stay vmapped
         (they are batch-major friendly: per-ego rows, no pair matrices).
+
+        ``reset_slots=P`` switches the reset branch to the compact
+        gather/scatter evaluation (see ``_compact_autoreset``): bitwise the
+        same results, ~B/P less reset compute per step.
         """
+        if reset_slots is None:
+            sim = self._simulate_batched(states, actions)
+            if sim is None:
+                return jax.vmap(self.step_autoreset)(states, actions)
+            return jax.vmap(self._finish_autoreset)(sim, actions)
+
+        if type(self)._step is not BaseEnv._step:
+            obs, st, reward, term, trunc, info = jax.vmap(self._step)(
+                states, actions
+            )
+            st, obs = self._compact_autoreset(
+                st, term | trunc, reset_slots, obs=obs
+            )
+            return obs, st, reward, term, trunc, info
+
         sim = self._simulate_batched(states, actions)
         if sim is None:
-            return jax.vmap(self.step_autoreset)(states, actions)
-        return jax.vmap(self._finish_autoreset)(sim, actions)
+            slot_actions = jax.vmap(self._action_to_slots)(actions)
+            st = states.replace(
+                time=states.time + 1.0 / self.config["policy_frequency"]
+            )
+            sim = jax.vmap(self._simulate)(st, slot_actions)
+        st, reward, term, trunc, info = jax.vmap(self._finish_head)(
+            sim, actions
+        )
+        st = self._compact_autoreset(st, term | trunc, reset_slots)
+        obs = jax.vmap(self._observe)(st)
+        return obs, st, reward, term, trunc, info
 
     def step_batched(self, states: EnvState, actions):
         """Batched step WITHOUT autoreset: ``jax.vmap(self._step)`` with the

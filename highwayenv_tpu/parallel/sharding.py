@@ -48,6 +48,7 @@ def sharded_rollout_fn(
     horizon: int,
     axis_name: str = "env",
     fresh_pool: int | None = None,
+    compact_reset: int | None = None,
 ):
     """Build a jitted sharded rollout: ``(states, key) -> (states, metrics)``.
 
@@ -69,7 +70,18 @@ def sharded_rollout_fn(
     of other rows) does NOT hold in this mode; use the default for the
     invariance suite.  Measured (intersection-v0, B=1024, TPU v5e):
     26.1k -> 34.8k env-steps/s.
+
+    ``compact_reset=P`` amortizes resets EXACTLY: the autoreset gathers the
+    done rows' own reset keys into P slots, resets only those, and scatters
+    back (``BaseEnv._compact_autoreset``) — bitwise the per-row full
+    evaluation, with overflow handled by extra while_loop passes.  Prefer
+    this over ``fresh_pool`` unless profiling shows the gather/scatter
+    itself is the limiter.  Mutually exclusive with ``fresh_pool``.
     """
+    assert not (fresh_pool and compact_reset), (
+        "fresh_pool and compact_reset are alternative reset-amortization "
+        "strategies; pass one"
+    )
     batch_spec = NamedSharding(mesh, P(axis_name))
 
     def rollout(states, key):
@@ -81,7 +93,7 @@ def sharded_rollout_fn(
             acts = sample(k)
             if fresh_pool is None:
                 obs, states, r, term, trunc, _ = env.step_autoreset_batched(
-                    states, acts
+                    states, acts, reset_slots=compact_reset
                 )
             else:
                 # step_batched, NOT jax.vmap(env._step): the batched entry

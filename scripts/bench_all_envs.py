@@ -23,15 +23,17 @@ ENV_IDS = sys.argv[1:] or [
 B = int(__import__("os").environ.get("BENCH_ENVS", 1024))
 HORIZON = 16
 
-# envs with expensive resets get a second, fresh-pool line: the in-step
-# autoreset pays a full per-env _reset every step (both select branches);
-# fresh_pool=B//4 amortizes it 4x with distribution-exact prefix-assigned
-# fresh scenes (parallel/sharding.py::sharded_rollout_fn)
+# envs with expensive resets get extra lines: the in-step autoreset pays a
+# full per-env _reset every step (both select branches).
+#   +pool    fresh_pool=B//4 — distribution-exact prefix-assigned scenes
+#   +compact compact_reset=B//8 — BITWISE-exact gather/scatter of the done
+#            rows' own resets (parallel/sharding.py::sharded_rollout_fn)
 POOLED_VARIANTS = {"intersection-v0"}
+COMPACT_VARIANTS = {"intersection-v0", "racetrack-v0", "highway-v0"}
 
 
-def bench_one(env_id, mesh, pooled):
-    label = env_id + (" +pool" if pooled else "")
+def bench_one(env_id, mesh, mode):
+    label = env_id + {"pool": " +pool", "compact": " +compact"}.get(mode, "")
     try:
         env = ht.make(env_id)
         keys = jax.random.split(jax.random.PRNGKey(0), B)
@@ -39,7 +41,8 @@ def bench_one(env_id, mesh, pooled):
         states = shard_batch(states, mesh)
         rollout = sharded_rollout_fn(
             env, mesh, horizon=HORIZON,
-            fresh_pool=(B // 4 if pooled else None),
+            fresh_pool=(B // 4 if mode == "pool" else None),
+            compact_reset=(B // 8 if mode == "compact" else None),
         )
         t0 = time.time()
         states, m = rollout(states, jax.random.PRNGKey(1))
@@ -63,8 +66,13 @@ def bench_one(env_id, mesh, pooled):
 def main():
     mesh = make_mesh(jax.devices())
     for env_id in ENV_IDS:
-        for pooled in [False, True] if env_id in POOLED_VARIANTS else [False]:
-            bench_one(env_id, mesh, pooled)
+        modes = [None]
+        if env_id in COMPACT_VARIANTS:
+            modes.append("compact")
+        if env_id in POOLED_VARIANTS:
+            modes.append("pool")
+        for mode in modes:
+            bench_one(env_id, mesh, mode)
 
 
 if __name__ == "__main__":
