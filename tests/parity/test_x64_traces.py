@@ -66,19 +66,15 @@ CASES = [
 ]
 
 
-@pytest.mark.slow
 def _normalize(case):
     """(env_id, seed[, extra_env[, atol]]) -> 4-tuple with defaults."""
     defaults = (None, "1e-6")
     return tuple(case) + defaults[len(case) - 2 :]
 
 
-@pytest.mark.parametrize(
-    "env_id,seed,extra_env,atol", [_normalize(c) for c in CASES]
-)
-def test_x64_trace(env_id, seed, extra_env, atol):
+def _run_case(env_id, seed, extra_env, atol, steps="30"):
     proc = subprocess.run(
-        [sys.executable, SCRIPT, env_id, "30", str(seed), atol],
+        [sys.executable, SCRIPT, env_id, steps, str(seed), atol],
         capture_output=True,
         text=True,
         timeout=900,
@@ -86,3 +82,21 @@ def test_x64_trace(env_id, seed, extra_env, atol):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "PASS" in proc.stdout
+
+
+def test_x64_trace_smoke():
+    """Fast-profile canary: one fresh-process x64 case so the parity
+    pipeline itself (script, oracle import, trace compare) is exercised on
+    every fast run; the full 22-case matrix is in the slow profile."""
+    _run_case("highway-v0", 0, None, "1e-6", steps="10")
+
+
+# slow: each case spawns a fresh x64 process that compiles the env from
+# scratch (~20-60s on a 1-CPU box); the whole matrix belongs in the slow
+# profile, keeping `pytest -m "not slow"` under the fast-gate budget.
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "env_id,seed,extra_env,atol", [_normalize(c) for c in CASES]
+)
+def test_x64_trace(env_id, seed, extra_env, atol):
+    _run_case(env_id, seed, extra_env, atol)

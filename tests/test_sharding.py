@@ -90,3 +90,15 @@ def test_fresh_pool_rollout_assigns_unique_fresh_scenes():
     pos = np.asarray(pool.vehicles.pos).reshape(6, -1)
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     assert (d + np.eye(6) * 1e9 > 1e-3).all(), "fresh resets must differ"
+
+
+def test_pallas_megakernel_under_shard_map():
+    """Pin the driver entry's leg 3: the interpret-mode Pallas megakernel
+    under jax.shard_map, compared against the XLA fast path.  This is the
+    exact combination whose JAX-0.9 `check_vma` breakage shipped unnoticed
+    in round 3 (MULTICHIP_r03 rc=1) because no CPU test exercised it."""
+    import __graft_entry__ as graft
+
+    devices = jax.devices()
+    mesh = make_mesh(devices)
+    graft.pallas_shard_map_leg(mesh, len(devices))
