@@ -86,16 +86,37 @@ def handle_collisions(state: VehicleState, dt: float) -> VehicleState:
         w & obst_i, 1.0, jnp.where(w & neither, -0.5, 0.0)
     )
 
+    # ---- last-written impact (objects.py:104-111 ASSIGNS, it never sums;
+    # loop order road.py:477-481).  For slot v the reference's writes arrive
+    # as: pairs (k, v), k ascending (during iterations k < v), THEN pairs
+    # (v, m), m ascending + objects (during iteration v; objects occupy the
+    # top slots, so "max partner index" covers both sub-phases).  The final
+    # value is therefore the max-index row-side pair if v writes as `self`,
+    # else the max-index column-side pair, else the previous impact.
     tx = translation[..., 0]
     ty = translation[..., 1]
-    imp_x = jnp.sum(coef_i * tx, axis=-1) + jnp.sum(coef_j * tx, axis=-2)
-    imp_y = jnp.sum(coef_i * ty, axis=-1) + jnp.sum(coef_j * ty, axis=-2)
-    impact = state.impact + jnp.stack([imp_x, imp_y], axis=-1)
-    impact_pending = (
-        state.impact_pending
-        | jnp.any(w & ~obst_i, axis=-1)
-        | jnp.any(w & ~obst_j, axis=-2)
+    write_i = w & ~obst_i  # v = pair's `self` (lower index) receives
+    write_j = w & ~obst_j  # v = pair's `other` (higher index) receives
+    col_iota = i_idx[None, :]
+    row_iota = i_idx[:, None]
+    last_j = jnp.max(jnp.where(write_i, col_iota, -1), axis=-1)  # (...,V)
+    last_i = jnp.max(jnp.where(write_j, row_iota, -1), axis=-2)
+    sel_row = write_i & (col_iota == last_j[..., :, None])
+    sel_col = write_j & (row_iota == last_i[..., None, :])
+    imp_row_x = jnp.sum(jnp.where(sel_row, coef_i * tx, 0.0), axis=-1)
+    imp_row_y = jnp.sum(jnp.where(sel_row, coef_i * ty, 0.0), axis=-1)
+    imp_col_x = jnp.sum(jnp.where(sel_col, coef_j * tx, 0.0), axis=-2)
+    imp_col_y = jnp.sum(jnp.where(sel_col, coef_j * ty, 0.0), axis=-2)
+    any_row = last_j >= 0
+    any_col = last_i >= 0
+    imp_x = jnp.where(
+        any_row, imp_row_x, jnp.where(any_col, imp_col_x, state.impact[..., 0])
     )
+    imp_y = jnp.where(
+        any_row, imp_row_y, jnp.where(any_col, imp_col_y, state.impact[..., 1])
+    )
+    impact = jnp.stack([imp_x, imp_y], axis=-1)
+    impact_pending = state.impact_pending | any_row | any_col
 
     # crash / hit flags (objects.py:113-120)
     crash_pair = intersecting & both_solid

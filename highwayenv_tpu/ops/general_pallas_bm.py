@@ -660,7 +660,8 @@ def _frame_body_general(
 
     def neigh_masks(qlane, s_pairs=None, e_pairs=None):
         """front/rear one-hot pair masks for a (V, blk) query lane.
-        FIRST-index tie-break (argmax of the XLA path)."""
+        Ties (road.py:539-545, PARITY #3): front keeps the LAST equally
+        -distant column, rear the first — matching the XLA paths."""
         if s_pairs is None:
             s_pairs = _pair_from(S, qlane)
         if e_pairs is None:
@@ -671,8 +672,8 @@ def _frame_body_general(
         f_key = jnp.where(front_ok, s_pairs, BIG)
         f_min = jnp.min(f_key, axis=1)
         f_hit = front_ok & (f_key <= f_min[:, None, :])
-        f_col = jnp.min(jnp.where(f_hit, col_i, BIG), axis=1)
-        f_hot = (f_hit & (col_i <= f_col[:, None, :])).astype(F32)
+        f_col = jnp.max(jnp.where(f_hit, col_i, -BIG), axis=1)
+        f_hot = (f_hit & (col_i >= f_col[:, None, :])).astype(F32)
         front_ex = f_min < BIG
 
         rear_ok = ok & (s_pairs < s_self[:, None, :])
@@ -1074,15 +1075,28 @@ def _frame_body_general(
     neither = ~obst_q & ~obst_c
     coef_q = jnp.where(w & obst_c, 1.0, jnp.where(w & neither, 0.5, 0.0))
     coef_c = jnp.where(w & obst_q, 1.0, jnp.where(w & neither, -0.5, 0.0))
-    impact_x = impact_x + jnp.sum(coef_q * tx, axis=1) + jnp.sum(
-        coef_c * tx, axis=0
+    # last-written impact (PARITY #2, objects.py:104-111 assigns; loop
+    # order road.py:477-481): max-index row-side writing pair wins, else
+    # max-index column-side pair, else the carried value
+    write_q = w & ~obst_q
+    write_c = w & ~obst_c
+    last_c = jnp.max(jnp.where(write_q, col_i, -1.0), axis=1)
+    last_q = jnp.max(jnp.where(write_c, row_i, -1.0), axis=0)
+    sel_row = write_q & (col_i >= last_c[:, None, :])
+    sel_col = write_c & (row_i >= last_q[None, :, :])
+    imp_row_x = jnp.sum(jnp.where(sel_row, coef_q * tx, 0.0), axis=1)
+    imp_row_y = jnp.sum(jnp.where(sel_row, coef_q * ty, 0.0), axis=1)
+    imp_col_x = jnp.sum(jnp.where(sel_col, coef_c * tx, 0.0), axis=0)
+    imp_col_y = jnp.sum(jnp.where(sel_col, coef_c * ty, 0.0), axis=0)
+    any_row = last_c >= 0.0
+    any_col = last_q >= 0.0
+    impact_x = jnp.where(
+        any_row, imp_row_x, jnp.where(any_col, imp_col_x, impact_x)
     )
-    impact_y = impact_y + jnp.sum(coef_q * ty, axis=1) + jnp.sum(
-        coef_c * ty, axis=0
+    impact_y = jnp.where(
+        any_row, imp_row_y, jnp.where(any_col, imp_col_y, impact_y)
     )
-    impact_pending = (
-        pend_left | anyf(w & ~obst_q, 1) | anyf(w & ~obst_c, 0)
-    )
+    impact_pending = pend_left | any_row | any_col
     crash_pair = inter & both
     crashed_out = (crashed_f > 0.5) | anyf(crash_pair, 1) | anyf(crash_pair, 0)
     hit_pair_q = inter & ~solid_q

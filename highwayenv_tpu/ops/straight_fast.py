@@ -100,12 +100,24 @@ def try_compile(net) -> "StraightGeo | None":
 
 
 def _neigh(s, elig_lane, s_self, eye):
-    """Front/rear per query row given (V,V) same-lane mask over columns."""
+    """Front/rear per query row given (V,V) same-lane mask over columns.
+
+    Ties (road.py:539-545): front keeps the LAST equally-distant column
+    (the reference's ``<=`` overwrites), rear keeps the first (strict
+    ``>``) — PARITY #3."""
     ok = elig_lane & ~eye
+    V = s.shape[-1]
+    j_idx = jnp.arange(V)
     front_ok = ok & (s_self[..., :, None] <= s[..., None, :])
     f_key = jnp.where(front_ok, s[..., None, :], jnp.inf)
     f_min = jnp.min(f_key, axis=-1)
-    front_idx = jnp.argmax(front_ok & (f_key == f_min[..., None]), axis=-1)
+    front_idx = jnp.maximum(
+        jnp.max(
+            jnp.where(front_ok & (f_key == f_min[..., None]), j_idx, -1),
+            axis=-1,
+        ),
+        0,
+    )
     front_ex = jnp.isfinite(f_min)
     rear_ok = ok & (s[..., None, :] < s_self[..., :, None])
     r_key = jnp.where(rear_ok, s[..., None, :], -jnp.inf)

@@ -205,11 +205,15 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
     def dense(_):
         """Exact fallback: the dense pair SAT with roles by original index
         (enumerates each unordered pair once, lower index as rect A — the
-        reference's list order, road.py:477-481)."""
+        reference's list order, road.py:477-481).  Impact is the LAST
+        -written pair's (PARITY #2): per slot, the max-ORIGINAL-index
+        row-side partner wins, else the max-index column-side partner."""
         def anyf(x, axis):
             return jnp.max(jnp.where(x, 1.0, 0.0), axis=axis) > 0.5
 
-        upper = idx[:, None, :] < idx[None, :, :]
+        idx_q = idx[:, None, :]
+        idx_c = idx[None, :, :]
+        upper = idx_q < idx_c
         pair_ok = (
             upper
             & (act_f[:, None, :] > 0.5) & (act_f[None, :, :] > 0.5)
@@ -233,14 +237,23 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
         )
         inter = inter & pair_ok
         w = will & pair_ok
-        wf = jnp.where(w, 1.0, 0.0)
-        ix = impact_x0 + 0.5 * (
-            jnp.sum(wf * tx, axis=1) - jnp.sum(wf * tx, axis=0)
+        last_rk = jnp.max(jnp.where(w, idx_c, -1.0), axis=1)  # (V, blk)
+        last_ck = jnp.max(jnp.where(w, idx_q, -1.0), axis=0)
+        sel_row = w & (idx_c >= last_rk[:, None, :])
+        sel_col = w & (idx_q >= last_ck[None, :, :])
+        imp_rx = jnp.sum(jnp.where(sel_row, 0.5 * tx, 0.0), axis=1)
+        imp_ry = jnp.sum(jnp.where(sel_row, 0.5 * ty, 0.0), axis=1)
+        imp_cx = jnp.sum(jnp.where(sel_col, -0.5 * tx, 0.0), axis=0)
+        imp_cy = jnp.sum(jnp.where(sel_col, -0.5 * ty, 0.0), axis=0)
+        any_row = last_rk >= 0.0
+        any_col = last_ck >= 0.0
+        ix = jnp.where(
+            any_row, imp_rx, jnp.where(any_col, imp_cx, impact_x0)
         )
-        iy = impact_y0 + 0.5 * (
-            jnp.sum(wf * ty, axis=1) - jnp.sum(wf * ty, axis=0)
+        iy = jnp.where(
+            any_row, imp_ry, jnp.where(any_col, imp_cy, impact_y0)
         )
-        pend = (pend_f > 0.5) | anyf(w, 1) | anyf(w, 0)
+        pend = (pend_f > 0.5) | any_row | any_col
         crashed = (crashed_f > 0.5) | anyf(inter, 1) | anyf(inter, 0)
         return (
             jnp.where(crashed, 1.0, 0.0), jnp.where(pend, 1.0, 0.0), ix, iy
@@ -249,8 +262,16 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
     def banded(_):
         crashed = crashed_f
         pend = pend_f
-        ix = impact_x0
-        iy = impact_y0
+        # last-written impact (PARITY #2) as a running max-key selection
+        # over the diagonals: row-side = the slot writes as the reference
+        # pair's `self` (lower ORIGINAL index), column-side = as `other`;
+        # keys are the partner's original index, largest key wins; the
+        # row side beats the column side at the end (road.py:477-481
+        # write order).
+        NEG = jnp.full_like(s_new, -1.0)
+        best_rk, imp_rx, imp_ry = NEG, jnp.zeros_like(s_new), jnp.zeros_like(s_new)
+        best_ck, imp_cx, imp_cy = NEG, jnp.zeros_like(s_new), jnp.zeros_like(s_new)
+        use_inner_conds = _sort_mode() == "inner"
         for d in range(1, W + 1):
             s_p = roll_up(s_new, d)
             act_p = roll_up(act_f, d)
@@ -258,7 +279,6 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
                 (row2 < float(V - d)) & (act_f > 0.5) & (act_p > 0.5)
                 & (jnp.abs(s_p - s_new) <= R)
             )
-            any_near = jnp.max(jnp.where(near, 1.0, 0.0)) > 0.5
 
             def fire(_, d=d):
                 px_p = roll_up(px, d)
@@ -302,18 +322,51 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
                 z = jnp.zeros_like(s_new)
                 return z, z, z, z
 
-            if _sort_mode() in ("noinner", "nocond"):
-                inter_f, wf, cx, cy = fire(())
-            else:
+            if use_inner_conds:
+                any_near = jnp.max(jnp.where(near, 1.0, 0.0)) > 0.5
                 inter_f, wf, cx, cy = jax.lax.cond(any_near, fire, skip, ())
+            else:
+                inter_f, wf, cx, cy = fire(())
             # partner-side contributions land d ranks ahead; rows wrapped
             # by the roll carry zeros (masked inside fire)
             crashed = jnp.maximum(
                 crashed, jnp.maximum(inter_f, pltpu.roll(inter_f, d, 0))
             )
             pend = jnp.maximum(pend, jnp.maximum(wf, pltpu.roll(wf, d, 0)))
-            ix = ix + cx - pltpu.roll(cx, d, 0)
-            iy = iy + cy - pltpu.roll(cy, d, 0)
+            # running last-write selection (4 candidate writes per rank):
+            idx_p = roll_up(idx, d)
+            w_r = wf > 0.5
+            self_r = idx < idx_p
+            m = w_r & self_r & (idx_p > best_rk)
+            imp_rx = jnp.where(m, cx, imp_rx)
+            imp_ry = jnp.where(m, cy, imp_ry)
+            best_rk = jnp.where(m, idx_p, best_rk)
+            m2 = w_r & ~self_r & (idx_p > best_ck)
+            imp_cx = jnp.where(m2, cx, imp_cx)
+            imp_cy = jnp.where(m2, cy, imp_cy)
+            best_ck = jnp.where(m2, idx_p, best_ck)
+            wf_s = pltpu.roll(wf, d, 0)
+            cx_s = pltpu.roll(cx, d, 0)
+            cy_s = pltpu.roll(cy, d, 0)
+            idx_s = pltpu.roll(idx, d, 0)  # partner's (r row's) orig index
+            w_p2 = wf_s > 0.5
+            self_p = idx < idx_s
+            m3 = w_p2 & self_p & (idx_s > best_rk)
+            imp_rx = jnp.where(m3, -cx_s, imp_rx)
+            imp_ry = jnp.where(m3, -cy_s, imp_ry)
+            best_rk = jnp.where(m3, idx_s, best_rk)
+            m4 = w_p2 & ~self_p & (idx_s > best_ck)
+            imp_cx = jnp.where(m4, -cx_s, imp_cx)
+            imp_cy = jnp.where(m4, -cy_s, imp_cy)
+            best_ck = jnp.where(m4, idx_s, best_ck)
+        any_row = best_rk >= 0.0
+        any_col = best_ck >= 0.0
+        ix = jnp.where(
+            any_row, imp_rx, jnp.where(any_col, imp_cx, impact_x0)
+        )
+        iy = jnp.where(
+            any_row, imp_ry, jnp.where(any_col, imp_cy, impact_y0)
+        )
         return crashed, pend, ix, iy
 
     mode = _sort_mode()
@@ -330,8 +383,11 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
 
 def _sort_mode() -> str:
     """Collision-pass structure knob for the sorted kernel (experiments):
-    full (default) | noinner (per-diagonal conds removed) | nocond (outer
-    fallback cond also removed — timing only, not exact) | dense."""
+    full (default: all W diagonals computed unconditionally, one outer
+    violation-fallback cond) | inner (round-3 behavior: a per-diagonal
+    `scf.if` skips reach-empty diagonals — measured SLOWER end-to-end) |
+    nocond (outer fallback cond also removed — timing only, not exact) |
+    dense."""
     import os
 
     return os.environ.get("HT_SORT_MODE", "full")
@@ -407,8 +463,9 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
 
     def neigh_masks(query_off):
         """front/rear one-hot pair masks + existence for a (V, blk) query
-        lane offset.  Tie-break = lowest column index (matches argmax of
-        the XLA path)."""
+        lane offset.  Ties (road.py:539-545, PARITY #3): front keeps the
+        LAST equally-distant column (the reference's ``<=`` overwrites),
+        rear the first (strict ``>``) — matching the XLA paths."""
         m = (
             (jnp.abs(lat_c - query_off[:, None, :]) <= fs.width / 2 + 1.0)
             & occ_c & not_eye
@@ -417,9 +474,9 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
         f_key = jnp.where(front_ok, s_c, BIG)
         f_min = jnp.min(f_key, axis=1)                     # (V, blk)
         f_hit = front_ok & (f_key <= f_min[:, None, :])
-        # first column among ties
-        f_col = jnp.min(jnp.where(f_hit, col_i, BIG), axis=1)
-        f_hot = (f_hit & (col_i <= f_col[:, None, :])).astype(F32)
+        # last column among ties
+        f_col = jnp.max(jnp.where(f_hit, col_i, -BIG), axis=1)
+        f_hot = (f_hit & (col_i >= f_col[:, None, :])).astype(F32)
         front_ex = f_min < BIG
 
         rear_ok = m & (s_c < s_q)
@@ -765,16 +822,29 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
         return jnp.max(x.astype(F32), axis=axis) > 0.5
 
     if lean:
-        # vehicle-vehicle only: both solid, split impact +/-0.5
+        # vehicle-vehicle only: both solid, impact +/-0.5 of the LAST
+        # -written pair (objects.py:104-111 assigns; loop order
+        # road.py:477-481 makes that the max-index row-side partner if the
+        # slot writes as `self`, else the max-index column-side partner —
+        # PARITY #2, resolved round 4)
         w = will
-        wf = w.astype(F32)
-        impact_x = impact_x + 0.5 * (
-            jnp.sum(wf * tx, axis=1) - jnp.sum(wf * tx, axis=0)
+        last_c = jnp.max(jnp.where(w, col_i, -1.0), axis=1)  # (V, blk)
+        last_q = jnp.max(jnp.where(w, row_i, -1.0), axis=0)
+        sel_row = w & (col_i >= last_c[:, None, :])
+        sel_col = w & (row_i >= last_q[None, :, :])
+        imp_row_x = jnp.sum(jnp.where(sel_row, 0.5 * tx, 0.0), axis=1)
+        imp_row_y = jnp.sum(jnp.where(sel_row, 0.5 * ty, 0.0), axis=1)
+        imp_col_x = jnp.sum(jnp.where(sel_col, -0.5 * tx, 0.0), axis=0)
+        imp_col_y = jnp.sum(jnp.where(sel_col, -0.5 * ty, 0.0), axis=0)
+        any_row = last_c >= 0.0
+        any_col = last_q >= 0.0
+        impact_x = jnp.where(
+            any_row, imp_row_x, jnp.where(any_col, imp_col_x, impact_x)
         )
-        impact_y = impact_y + 0.5 * (
-            jnp.sum(wf * ty, axis=1) - jnp.sum(wf * ty, axis=0)
+        impact_y = jnp.where(
+            any_row, imp_row_y, jnp.where(any_col, imp_col_y, impact_y)
         )
-        impact_pending = pend_left | anyf(w, 1) | anyf(w, 0)
+        impact_pending = pend_left | any_row | any_col
         crashed_out = (
             (crashed_f > 0.5) | anyf(inter, 1) | anyf(inter, 0)
         )
@@ -789,17 +859,27 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
         neither = ~obst_q & ~obst_c
         coef_q = jnp.where(w & obst_c, 1.0, jnp.where(w & neither, 0.5, 0.0))
         coef_c = jnp.where(w & obst_q, 1.0, jnp.where(w & neither, -0.5, 0.0))
-        impact_x = impact_x + jnp.sum(coef_q * tx, axis=1) + jnp.sum(
-            coef_c * tx, axis=0
+        # last-written impact (PARITY #2): max-index row-side writing pair
+        # wins, else max-index column-side, else the carried value
+        write_q = w & ~obst_q
+        write_c = w & ~obst_c
+        last_c = jnp.max(jnp.where(write_q, col_i, -1.0), axis=1)
+        last_q = jnp.max(jnp.where(write_c, row_i, -1.0), axis=0)
+        sel_row = write_q & (col_i >= last_c[:, None, :])
+        sel_col = write_c & (row_i >= last_q[None, :, :])
+        imp_row_x = jnp.sum(jnp.where(sel_row, coef_q * tx, 0.0), axis=1)
+        imp_row_y = jnp.sum(jnp.where(sel_row, coef_q * ty, 0.0), axis=1)
+        imp_col_x = jnp.sum(jnp.where(sel_col, coef_c * tx, 0.0), axis=0)
+        imp_col_y = jnp.sum(jnp.where(sel_col, coef_c * ty, 0.0), axis=0)
+        any_row = last_c >= 0.0
+        any_col = last_q >= 0.0
+        impact_x = jnp.where(
+            any_row, imp_row_x, jnp.where(any_col, imp_col_x, impact_x)
         )
-        impact_y = impact_y + jnp.sum(coef_q * ty, axis=1) + jnp.sum(
-            coef_c * ty, axis=0
+        impact_y = jnp.where(
+            any_row, imp_row_y, jnp.where(any_col, imp_col_y, impact_y)
         )
-        impact_pending = (
-            pend_left
-            | anyf(w & ~obst_q, 1)
-            | anyf(w & ~obst_c, 0)
-        )
+        impact_pending = pend_left | any_row | any_col
         crash_pair = inter & both
         crashed_out = (
             (crashed_f > 0.5) | anyf(crash_pair, 1) | anyf(crash_pair, 0)
@@ -851,14 +931,49 @@ def build_pallas_frame(
     body = functools.partial(
         _frame_body, fs, p, dt, raw, lean, has_linear, sorted_mode
     )
-    fields = BM_FIELDS + (["idx"] if sorted_mode else [])
+    fields = BM_FIELDS
     const_fields = BM_CONST_FIELDS + (["idx"] if sorted_mode else [])
     n = len(fields)
 
     n_mut = len(BM_MUT_FIELDS)
+    ux, uy = float(fs.u[0]), float(fs.u[1])
+    ox, oy = float(fs.origin[0]), float(fs.origin[1])
+
+    def _rank_perm(f):
+        """Stable s-rank permutation, entirely in-kernel (VPU mask math —
+        the round-3 XLA-side one-hot sort einsums were the measured
+        overhead that made the sorted kernel a net loss).  Returns the
+        one-hot P with P[r, i] = 1 where original slot i has rank r, plus
+        each slot's original index as an f32 field."""
+        V = f["px"].shape[0]
+        s = (f["px"] - ox) * ux + (f["py"] - oy) * uy  # (V, blk)
+        s_q = s[:, None, :]
+        s_c = s[None, :, :]
+        row3 = jax.lax.broadcasted_iota(jnp.int32, (V, V, f["px"].shape[1]), 0).astype(F32)
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (V, V, f["px"].shape[1]), 1).astype(F32)
+        before = (s_c < s_q) | ((s_c == s_q) & (col3 < row3))
+        rank = jnp.sum(jnp.where(before, 1.0, 0.0), axis=1)  # (V, blk) of slot i=row
+        P = jnp.where(row3 == rank[None, :, :], 1.0, 0.0)  # (rank r, slot i)
+        idx_sorted = jnp.sum(P * col3, axis=1)  # orig index at each rank
+        return P, idx_sorted
+
+    def _permute(P, x):
+        """sorted[r] = sum_i P[r, i] x[i]."""
+        return jnp.sum(P * x[None, :, :], axis=1)
+
+    def _unpermute(P, g):
+        """orig[i] = sum_r P[r, i] g[r]."""
+        return jnp.sum(P * g[:, None, :], axis=0)
 
     def kernel(*refs):
         f = {name: r[:] for name, r in zip(fields, refs[:n])}
+        if sorted_mode:
+            # sort the slot axis by longitudinal position once per policy
+            # step (stable; equal-s ties keep original-index order), run
+            # every frame banded in rank space, un-permute at the end
+            P, idx_sorted = _rank_perm(f)
+            f = {name: _permute(P, v) for name, v in f.items()}
+            f["idx"] = idx_sorted
         if frames == 1:
             out = body(f)
         else:
@@ -874,6 +989,8 @@ def build_pallas_frame(
 
             mut0 = {name: f[name] for name in BM_MUT_FIELDS}
             out = jax.lax.fori_loop(0, frames, step, mut0)
+        if sorted_mode:
+            out = {name: _unpermute(P, out[name]) for name in BM_MUT_FIELDS}
         for name, r in zip(BM_MUT_FIELDS, refs[n:]):
             r[:] = out[name]
 
@@ -906,53 +1023,21 @@ def build_pallas_frame(
     return frame
 
 
-def pack_bm_sorted(veh: VehicleState, fs: StraightGeo):
-    """Like :func:`pack_bm` but with the slot axis sorted by longitudinal
-    position per env (stable, so equal-s ties keep original-index order —
-    the dense tie-break semantics).  Appends the original slot index as an
-    extra ``idx`` const field and returns the one-hot permutation matrix
-    for unsorting.
-
-    The permutation is applied as a one-hot einsum (precision="highest"),
-    NOT take_along_axis: per-row dynamic gathers lower catastrophically on
-    TPU (measured: gather-based sorting floored the whole pipeline at 22k
-    env-steps/s vs 108k) while the (V, V) one-hot contraction is exact
-    (0/1 x value) and negligible at these sizes."""
-    s = (veh.pos[..., 0] - float(fs.origin[0])) * float(fs.u[0]) + (
-        veh.pos[..., 1] - float(fs.origin[1])
-    ) * float(fs.u[1])
-    perm = jnp.argsort(s, axis=-1, stable=True)  # (..., V)
-    V = perm.shape[-1]
-    hot = (perm[..., :, None] == jnp.arange(V)[None, :]).astype(F32)
-    arrays = pack_bm(veh)  # list of (V, B)
-    stacked = jnp.stack([a.T for a in arrays], axis=-1)  # (B, V, n)
-    srt = jnp.einsum("brw,bwf->brf", hot, stacked, precision="highest")
-    out = [srt[..., i].T for i in range(len(arrays))]
-    out.append(perm.astype(F32).T)
-    return out, hot
-
-
-def unpack_bm_sorted(arrays: list, veh: VehicleState, hot) -> VehicleState:
-    """Inverse of :func:`pack_bm_sorted`: un-permute the mutated fields back
-    to the original slot order (ranks are static within a policy step) via
-    the transposed one-hot contraction."""
-    n_mut = len(BM_MUT_FIELDS)
-    stacked = jnp.stack([a.T for a in arrays[:n_mut]], axis=-1)  # (B, V, m)
-    orig = jnp.einsum("brv,brf->bvf", hot, stacked, precision="highest")
-    restored = [orig[..., i].T for i in range(n_mut)]
-    return unpack_bm(restored + list(arrays[n_mut:]), veh)
-
-
 def pallas_simulate_bm_sorted(
     env, veh: VehicleState, slot_actions, frames: int,
     block: int = 128, interpret: bool = False,
 ) -> VehicleState:
     """Policy-step simulation with the s-sorted slot layout: ego meta-action
-    in XLA, one stable argsort + gather per step (tiny (B, V) XLA work),
-    then all frames in the VMEM-resident megakernel whose collision pass is
-    banded over rank diagonals (``_collisions_sorted_lean``) — the dense
-    (V, V, blk) SAT, ~80% of the kernel's cost, collapses to a handful of
-    (V, blk) diagonals gated by reach."""
+    in XLA, then all frames in the VMEM-resident megakernel, whose collision
+    pass is banded over rank diagonals (``_collisions_sorted_lean``) — the
+    dense (V, V, blk) SAT, the kernel's dominant cost, collapses to W
+    reach-gated (V, blk) diagonals.
+
+    Round-4 rebuild: the stable s-sort lives INSIDE the kernel (one
+    (V, V, blk) rank pass + mask-reduce permutes at step start/end) instead
+    of round 3's XLA-side one-hot einsums over ~30 stacked (B, V) fields —
+    those einsums plus the W per-diagonal `scf.if`s were the measured -10%
+    that kept this kernel default-off."""
     ego_mask = veh.kind == KIND_EGO
     veh = env.action_type.apply(env.geo, veh, ego_mask, slot_actions)
 
@@ -963,9 +1048,8 @@ def pallas_simulate_bm_sorted(
             env, block=block, interpret=interpret, frames=frames,
             sorted_mode=True,
         )
-    arrays, perm = pack_bm_sorted(veh, env._straight)
-    arrays = cache[key](arrays)
-    return unpack_bm_sorted(list(arrays), veh, perm)
+    arrays = cache[key](pack_bm(veh))
+    return unpack_bm(list(arrays), veh)
 
 
 def pallas_simulate_bm(

@@ -698,15 +698,28 @@ class RoadNetworkBuilder:
             n = len(self._edges[key])
             edge_base[base : base + n] = base
 
-        # successor / predecessor edge tables
+        # successor / predecessor edge tables.  Successors follow per-node
+        # edge insertion (reference: graph[_to].values(), road.py:505-510);
+        # predecessors follow the FROM-node's first appearance as an outer
+        # graph key (reference: `for to_dict in graph.values()`,
+        # road.py:520-529) — PARITY #10, resolved round 4: the orders
+        # differ whenever a later-inserted predecessor edge originates from
+        # an earlier-seen node.
+        from_rank: dict[int, int] = {}
+        for key in edge_keys:
+            from_rank.setdefault(self._node_ids[key[0]], len(from_rank))
         succ_of_node: dict[int, list[tuple[int, int]]] = {}
-        pred_of_node: dict[int, list[tuple[int, int]]] = {}
+        pred_raw: dict[int, list[tuple[int, int, int]]] = {}
         for key in edge_keys:
             b = edge_bases[key]
             n = len(self._edges[key])
             fn, tn = self._node_ids[key[0]], self._node_ids[key[1]]
             succ_of_node.setdefault(fn, []).append((b, n))
-            pred_of_node.setdefault(tn, []).append((b, n))
+            pred_raw.setdefault(tn, []).append((from_rank[fn], b, n))
+        pred_of_node: dict[int, list[tuple[int, int]]] = {
+            tn: [(b, n) for _, b, n in sorted(entries)]
+            for tn, entries in pred_raw.items()
+        }
 
         S = max(1, max((len(v) for v in succ_of_node.values()), default=1))
         P = max(1, max((len(v) for v in pred_of_node.values()), default=1))

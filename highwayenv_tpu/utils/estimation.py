@@ -1,17 +1,24 @@
 """Confidence-region parameter estimation (research extras).
 
-Rebuild of highway_env/utils.py:244-352 (confidence ellipsoid / polytope for
-linear models y = theta^T phi, observation validity, dataset consistency) and
-the ray-to-circle helper (utils.py:373-429).  Host-side numpy tooling used by
-the regression/interval vehicles.
+Same contracts as highway_env/utils.py:244-352 (confidence ellipsoid /
+polytope for linear models ``y = theta^T phi``, observation validity,
+leave-last-out dataset consistency) and the ray-to-circle helpers
+(utils.py:373-424, unused in the reference itself but part of its public
+surface).  The implementation is this repo's own: symmetric-eigendecomposition
+(``eigh``) + one batched vertex matmul instead of the reference's generic
+``eig`` and per-vertex Python loop — the polytope VERTEX SET is identical
+(it is invariant to eigenpair order/sign), every downstream consumer
+(`ops/uncertainty.py` interval propagation) reduces over vertices, and the
+whole 2^d vertex fan is produced in one einsum.
 """
 
 from __future__ import annotations
 
-import copy
-import itertools
-
 import numpy as np
+
+
+def _design(data: dict) -> tuple[np.ndarray, np.ndarray]:
+    return np.asarray(data["features"]), np.asarray(data["outputs"])
 
 
 def confidence_ellipsoid(
@@ -21,83 +28,100 @@ def confidence_ellipsoid(
     sigma: float = 0.1,
     param_bound: float = 1.0,
 ):
-    """Regularized least squares + self-normalized bound (utils.py:244-273)."""
-    phi = np.array(data["features"])
-    y = np.array(data["outputs"])
-    g = phi.T @ phi / sigma + lambda_ * np.identity(phi.shape[-1])
-    theta = np.linalg.inv(g) @ phi.T @ y / sigma
-    d = theta.shape[0]
+    """Regularized least squares with a self-normalized confidence radius.
+
+    Returns ``(theta, gramian, beta)`` such that with probability 1-delta
+    the true parameter lies in ``{t : |t - theta|_gramian <= beta}``
+    (contract of utils.py:244-273; same estimator and radius formula, the
+    solve is a linear system instead of an explicit inverse).
+    """
+    phi, y = _design(data)
+    d = phi.shape[-1]
+    gramian = phi.T @ phi / sigma + lambda_ * np.eye(d)
+    theta = np.linalg.solve(gramian, phi.T @ y) / sigma
+    # log det via slogdet (numerically robust vs det() underflow at large N)
+    _, logdet = np.linalg.slogdet(gramian)
     beta = (
-        np.sqrt(2 * np.log(np.sqrt(np.linalg.det(g) / lambda_**d) / delta))
+        np.sqrt(2.0 * (0.5 * (logdet - d * np.log(lambda_)) - np.log(delta)))
         + np.sqrt(lambda_ * d) * param_bound
     )
-    return theta, g, beta
+    return theta, gramian, beta
 
 
-def confidence_polytope(data: dict, parameter_box: np.ndarray):
-    """Ellipsoid -> vertex polytope, clipped to the prior box
-    (utils.py:275-303)."""
-    parameter_box = np.asarray(parameter_box)
-    param_bound = np.amax(np.abs(parameter_box))
-    theta, g, beta = confidence_ellipsoid(data, param_bound=param_bound)
+def confidence_polytope(data: dict, parameter_box):
+    """Axis-fan vertex polytope of the confidence ellipsoid, clipped to the
+    prior box (contract of utils.py:275-303).
 
-    values, pp = np.linalg.eig(g)
-    radius_matrix = np.sqrt(beta) * np.linalg.inv(pp) @ np.diag(
-        np.sqrt(1 / values)
+    Returns ``(theta, d_theta, gramian, beta)`` where ``d_theta`` stacks the
+    2^d ellipsoid-axis vertices.  Vertex basis: for symmetric PSD gramian
+    ``G = Q diag(w) Q^T``, the ellipsoid semi-axes are
+    ``sqrt(beta / w_i) * q_i``; every vertex is a +/-1 combination of them,
+    generated here as one batched matmul over the sign hypercube.
+    """
+    box = np.asarray(parameter_box, dtype=float)
+    theta, gramian, beta = confidence_ellipsoid(
+        data, param_bound=float(np.max(np.abs(box)))
     )
-    h = np.array(
-        list(itertools.product([-1, 1], repeat=theta.shape[0]))
-    )
-    d_theta = np.array([radius_matrix @ h_k for h_k in h])
+    w, q = np.linalg.eigh(gramian)  # symmetric: eigh, ascending eigenvalues
+    semi_axes = q * np.sqrt(beta / w)  # (d, d): column i = sqrt(beta/w_i) q_i
+    d = theta.shape[0]
+    # sign hypercube (2^d, d): row k = binary expansion of k mapped to +/-1
+    bits = (np.arange(2**d)[:, None] >> np.arange(d - 1, -1, -1)) & 1
+    signs = 2.0 * bits - 1.0
+    d_theta = signs @ semi_axes.T  # (2^d, d) vertex offsets
 
-    theta = np.clip(theta, parameter_box[0], parameter_box[1])
-    for k in range(len(d_theta)):
-        d_theta[k] = np.clip(
-            d_theta[k], parameter_box[0] - theta, parameter_box[1] - theta
-        )
-    return theta, d_theta, g, beta
+    theta = np.clip(theta, box[0], box[1])
+    d_theta = np.clip(d_theta, box[0] - theta, box[1] - theta)
+    return theta, d_theta, gramian, beta
 
 
 def is_valid_observation(y, phi, theta, gramian, beta, sigma: float = 0.1):
-    """utils.py:306-330."""
-    y_hat = np.tensordot(theta, phi, axes=[0, 0])
-    error = np.linalg.norm(y - y_hat)
-    eig_phi, _ = np.linalg.eig(phi.T @ phi)
-    eig_g, _ = np.linalg.eig(gramian)
-    error_bound = np.sqrt(np.amax(eig_phi) / np.amin(eig_g)) * beta + sigma
-    return bool(error < error_bound)
+    """Prediction-error test for one observation against the confidence
+    region (contract of utils.py:306-330): the residual must stay within
+    the worst-case parameter error amplified through phi, plus noise."""
+    phi = np.asarray(phi)
+    residual = np.linalg.norm(np.asarray(y) - np.tensordot(theta, phi, [0, 0]))
+    # ||phi||_2^2 is the top eigenvalue of phi phi^T; gramian's floor via eigh
+    phi_gain = np.linalg.eigvalsh(phi.T @ phi)[-1]
+    g_floor = np.linalg.eigvalsh(gramian)[0]
+    return bool(residual < np.sqrt(phi_gain / g_floor) * beta + sigma)
 
 
 def is_consistent_dataset(data: dict, parameter_box=None) -> bool:
-    """Leave-last-out consistency check (utils.py:333-352)."""
-    train = copy.deepcopy(data)
-    y = np.array(train["outputs"].pop(-1))[..., np.newaxis]
-    phi = np.array(train["features"].pop(-1))[..., np.newaxis]
-    if train["outputs"] and train["features"]:
-        theta, _, gramian, beta = confidence_polytope(
-            train, parameter_box=parameter_box
-        )
-        return is_valid_observation(y, phi, theta, gramian, beta)
-    return True
+    """Leave-last-out consistency (contract of utils.py:333-352): fit on all
+    but the newest sample, test the newest against the fitted region.
+    Non-destructive — the caller's lists are left untouched."""
+    feats, outs = data["features"], data["outputs"]
+    if len(feats) < 2 or len(outs) < 2:
+        return True
+    train = {"features": feats[:-1], "outputs": outs[:-1]}
+    y = np.asarray(outs[-1])[..., None]
+    phi = np.asarray(feats[-1])[..., None]
+    theta, _, gramian, beta = confidence_polytope(train, parameter_box)
+    return is_valid_observation(y, phi, theta, gramian, beta)
 
 
 def solve_trinom(a, b, c):
-    """utils.py:419-424."""
-    delta = b**2 - 4 * a * c
-    if delta >= 0:
-        return (-b - np.sqrt(delta)) / (2 * a), (-b + np.sqrt(delta)) / (2 * a)
-    return None, None
+    """Real roots of ``a x^2 + b x + c`` in ascending order, or
+    ``(None, None)`` (contract of utils.py:419-424)."""
+    disc = b * b - 4.0 * a * c
+    if disc < 0:
+        return None, None
+    sq = np.sqrt(disc)
+    return (-b - sq) / (2.0 * a), (-b + sq) / (2.0 * a)
 
 
 def distance_to_circle(center, radius, direction):
-    """Ray-to-circle hit distance (utils.py:373-386)."""
-    scaling = radius * np.ones((2, 1))
-    a = np.linalg.norm(direction / scaling) ** 2
-    b = -2 * np.dot(np.transpose(center), direction / np.square(scaling))
-    c = np.linalg.norm(center / scaling) ** 2 - 1
-    root_inf, root_sup = solve_trinom(a, b, c)
-    if root_inf and root_inf > 0:
-        return root_inf
-    if root_sup and root_sup > 0:
+    """Ray-to-circle hit distance along ``direction`` from the origin, or
+    +inf on a miss (contract of utils.py:373-386, including its
+    inside-the-circle -> 0 behavior)."""
+    center = np.asarray(center, float).reshape(-1)
+    direction = np.asarray(direction, float).reshape(-1)
+    u = direction / radius
+    p = center / radius
+    near, far = solve_trinom(u @ u, -2.0 * (p @ u), p @ p - 1.0)
+    if near and near > 0:
+        return near
+    if far and far > 0:  # origin inside the circle
         return 0
     return np.inf

@@ -174,8 +174,10 @@ def neighbours(
     Dense (V, V) formulation: one one-hot matmul projects every object onto
     every query lane (MXU), then masked min/max pick the neighbours.  On TPU
     this beats the sorted-index binary search by a wide margin — gathers
-    break fusion and made the frame HBM-bound.  First-minimum tie-break as
-    before (PARITY.md #3).
+    break fusion and made the frame HBM-bound.  Ties follow the reference's
+    scan (road.py:539-545): the front neighbour keeps the LAST equally
+    -distant object (its ``<=`` overwrites), the rear keeps the first
+    (strict ``>``) — PARITY #3, resolved round 4.
     """
     V = state.num_slots
     s_self = lane_ops.row_lookup(table_s, query_lane)
@@ -190,12 +192,14 @@ def neighbours(
     eye = jnp.eye(V, dtype=bool)
     ok = e_pairs & ~eye
 
+    j_idx = jnp.arange(V)
     front_ok = ok & (s_self[..., :, None] <= s_pairs)
     f_key = jnp.where(front_ok, s_pairs, jnp.inf)
     f_min = jnp.min(f_key, axis=-1)
-    front_idx = jnp.argmax(
-        front_ok & (f_key == f_min[..., None]), axis=-1
+    front_idx = jnp.max(
+        jnp.where(front_ok & (f_key == f_min[..., None]), j_idx, -1), axis=-1
     ).astype(jnp.int32)
+    front_idx = jnp.maximum(front_idx, 0)
     front_ex = jnp.isfinite(f_min)
 
     rear_ok = ok & (s_pairs < s_self[..., :, None])

@@ -186,3 +186,53 @@ def test_select_forms_poly_fallback():
         np.asarray(lane_ops.position_select(geo, lanes, s, lat)),
         np.asarray(lane_ops.position(geo, lanes, s, lat)),
     )
+
+
+def test_predecessor_candidate_order_matches_reference_graph_iteration():
+    """PARITY #10 (resolved round 4): the connected-lane candidate table's
+    predecessor entries must follow the reference's iteration order — outer
+    graph keys in FROM-node first-appearance order (road.py:520-529) — not
+    raw edge insertion.  Constructed so the two orders differ: the (b->j)
+    edge is inserted AFTER (a->j), but node b first appeared as a from-node
+    BEFORE a, so the reference visits b's edge first."""
+    ref_road = pytest.importorskip("highway_env.road.road")
+
+    def lanes():
+        return {
+            # b registers as a from-node first (via an unrelated edge)
+            ("b", "w"): StraightLane([-100, 20], [0, 20]),
+            ("a", "j"): StraightLane([-100, 8], [0, 0]),
+            ("b", "j"): StraightLane([-100, -2], [0, 0]),
+            ("j", "k"): StraightLane([0, 0], [100, 0]),
+        }
+
+    ref_net = ref_road.RoadNetwork()
+    for (f, t), ln in lanes().items():
+        ref_net.add_lane(
+            f, t, ref_lane.StraightLane(ln.start.tolist(), ln.end.tolist())
+        )
+    # reference predecessor iteration order for node "j"
+    ref_pred_from = [
+        fn for fn, to_dict in ref_net.graph.items() if "j" in to_dict
+    ]
+    assert ref_pred_from == ["b", "a"], "fixture must make orders differ"
+
+    net = RoadNetworkBuilder()
+    for (f, t), ln in lanes().items():
+        net.add_lane(f, t, ln)
+    geo = net.build()
+
+    # query lane (j->k) = global index of that edge's lane 0
+    names = list(lanes().keys())
+    g_jk = int(np.asarray(geo.edge_base)[names.index(("j", "k"))])
+    cand = list(np.asarray(geo.conn_lanes)[g_jk])
+    # candidates: [self, successors..., predecessors...]; -1 padded
+    cand = [c for c in cand if c >= 0]
+    assert cand[0] == g_jk
+    # predecessor candidates (negative offsets) in table order
+    offs = np.asarray(geo.conn_offsets)[g_jk][: len(cand)]
+    preds = [c for c, o in zip(cand, offs) if o < 0]
+    # map each predecessor lane to its edge's from-node via edge_base
+    base = list(np.asarray(geo.edge_base))
+    pred_from = [names[base.index(p)][0] for p in preds]
+    assert pred_from == ref_pred_from, (pred_from, ref_pred_from)
