@@ -5,8 +5,9 @@ is rasterized INSIDE the jitted step: lane markings via the compiled lane
 projection tables and vehicles as rotated-rectangle membership tests on the
 pixel grid, then RGB->gray with the configured weights.  The DQN-style frame
 stack lives in ``EnvState.obs_stack`` so the observation stays a pure
-function of state.  Visually equivalent, not pixel-identical, to pygame
-output (PARITY.md #12).
+function of state.  Divergence from the byte-exact pygame backend is
+bounded and asserted (<=5% of pixels off by >8 levels, PSNR >= 21 dB —
+PARITY.md #12, tests/parity/test_grayscale_divergence.py).
 """
 
 from __future__ import annotations
@@ -134,7 +135,14 @@ class GrayscaleObservation:
         gy = jnp.broadcast_to(wy[:, None], (H, W)).reshape(-1)
         pts = jnp.stack([gx, gy], axis=-1)
 
-        # ---- lanes: center band dark, side lines white ------------------ #
+        # ---- lanes: white markings on a uniform grey ground ------------- #
+        # The reference fills the whole world surface GREY and draws ONLY
+        # the lane lines (graphics.py:296-308 fill + LaneGraphics.display)
+        # — there is no darker road band; earlier rounds drew one, which
+        # made every road-interior pixel differ from the pygame backend.
+        # CONTINUOUS (2) and CONTINUOUS_LINE (3) both render as continuous
+        # lines (graphics.py:145-149); STRIPED (1) uses the global
+        # s ~ [k*SPACING, k*SPACING+LENGTH) phase.
         s_tab, lat_tab = lane_ops.projection_table(geo, pts)  # (L, N)
         lengths = jnp.asarray(geo.length)[:, None]
         widths = jnp.asarray(geo.width)[:, None]
@@ -142,25 +150,19 @@ class GrayscaleObservation:
         on_len = (s_tab >= 0.0) & (s_tab <= lengths)
         half_px = 0.5 / scaling
 
-        dark = jnp.any(on_len & (jnp.abs(lat_tab) <= widths / 2), axis=0)
-
         stripe_on = jnp.mod(s_tab, STRIPE_SPACING) <= STRIPE_LENGTH
-        white = jnp.zeros_like(dark)
+        white = jnp.zeros((pts.shape[0],), bool)
         for side, sign in ((0, -1.0), (1, 1.0)):
             side_hit = on_len & (
                 jnp.abs(lat_tab - sign * widths / 2) <= half_px
             )
-            cont = jnp.asarray(lt[:, side] == 2)[:, None]
+            cont = jnp.asarray((lt[:, side] == 2) | (lt[:, side] == 3))[:, None]
             strp = jnp.asarray(lt[:, side] == 1)[:, None]
             white = white | jnp.any(
                 side_hit & (cont | (strp & stripe_on)), axis=0
             )
 
-        g = jnp.where(
-            white,
-            self.gray["white"],
-            jnp.where(dark, self.gray["black"], self.gray["grey"]),
-        )
+        g = jnp.where(white, self.gray["white"], self.gray["grey"])
 
         # ---- vehicles: rotated-rect membership, lower kind drawn on top -- #
         dx = pts[..., 0][None, :] - veh.pos[..., :, 0][..., None]  # (V, N)

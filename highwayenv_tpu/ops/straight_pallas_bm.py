@@ -954,16 +954,21 @@ def build_pallas_frame(
         before = (s_c < s_q) | ((s_c == s_q) & (col3 < row3))
         rank = jnp.sum(jnp.where(before, 1.0, 0.0), axis=1)  # (V, blk) of slot i=row
         P = jnp.where(row3 == rank[None, :, :], 1.0, 0.0)  # (rank r, slot i)
+        # transposed one-hot for the inverse permute: mosaic cannot lower a
+        # dim-0 multi_reduction of the (V, V, blk) product ("Unsupported
+        # output implicit dimension"), so the unsort contracts PT along
+        # axis 1 instead of P along axis 0
+        PT = jnp.where(col3 == rank[:, None, :], 1.0, 0.0)  # (slot i, rank r)
         idx_sorted = jnp.sum(P * col3, axis=1)  # orig index at each rank
-        return P, idx_sorted
+        return P, PT, idx_sorted
 
     def _permute(P, x):
         """sorted[r] = sum_i P[r, i] x[i]."""
         return jnp.sum(P * x[None, :, :], axis=1)
 
-    def _unpermute(P, g):
-        """orig[i] = sum_r P[r, i] g[r]."""
-        return jnp.sum(P * g[:, None, :], axis=0)
+    def _unpermute(PT, g):
+        """orig[i] = sum_r PT[i, r] g[r]."""
+        return jnp.sum(PT * g[None, :, :], axis=1)
 
     def kernel(*refs):
         f = {name: r[:] for name, r in zip(fields, refs[:n])}
@@ -971,7 +976,7 @@ def build_pallas_frame(
             # sort the slot axis by longitudinal position once per policy
             # step (stable; equal-s ties keep original-index order), run
             # every frame banded in rank space, un-permute at the end
-            P, idx_sorted = _rank_perm(f)
+            P, PT, idx_sorted = _rank_perm(f)
             f = {name: _permute(P, v) for name, v in f.items()}
             f["idx"] = idx_sorted
         if frames == 1:
@@ -990,7 +995,7 @@ def build_pallas_frame(
             mut0 = {name: f[name] for name in BM_MUT_FIELDS}
             out = jax.lax.fori_loop(0, frames, step, mut0)
         if sorted_mode:
-            out = {name: _unpermute(P, out[name]) for name in BM_MUT_FIELDS}
+            out = {name: _unpermute(PT, out[name]) for name in BM_MUT_FIELDS}
         for name, r in zip(BM_MUT_FIELDS, refs[n:]):
             r[:] = out[name]
 

@@ -32,7 +32,7 @@ def test_grayscale_stack_semantics():
 
     frame = np.asarray(o2[3])
     assert frame.max() > 200  # white lane markings
-    assert frame.min() < 100  # dark road band
+    assert frame.min() < 100  # grey road surface (reference fills GREY=99)
     # ego (green) and traffic (yellow) gray levels present
     w = np.array([0.2989, 0.5870, 0.1140])
     ego_gray = int(np.dot((50, 200, 0), w))
