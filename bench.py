@@ -101,13 +101,15 @@ def main():
     # MFU vs the VPU f32 roofline (accounting in docs/kernels.md): the sim is
     # pair-interaction VPU work, not MXU matmuls, so utilization is measured
     # against the vector unit's f32 peak.  TPU v5e: 8 sublanes x 128 lanes x
-    # 4 ALUs x 2 (FMA) x ~0.94 GHz ~= 7.7e12 f32 FLOP/s/chip.  Logical FLOP
-    # count per env-step is the kernel's own accounting (BASELINE.md roofline
-    # notes: ~2.5 MFLOP per env-frame of (V,V) pair work at V=51, 15
-    # frames/policy-step for highway-v0) — logical means useful math only,
-    # no padding waste, so this is a conservative (lower-bound) utilization.
+    # 4 ALUs x 2 (FMA) x ~0.94 GHz ~= 7.7e12 f32 FLOP/s/chip.  FLOPs per
+    # env-step are INSTRUMENTED, not hand-estimated: the XLA fast path's
+    # compiled cost_analysis reads 37.24 MFLOP/step for highway-v0 at V=51
+    # (scripts/audit_flops.py, TPU backend, 2026-08-20) — the logical work
+    # of the frame semantics.  The Pallas kernel body's own op census is
+    # ~1.4x higher (52.5 MFLOP/step, same script), so the quoted MFU is a
+    # lower bound on hardware op-slot activity.
     vpu_peak = float(os.environ.get("BENCH_VPU_PEAK_F32", 7.7e12))
-    flops_per_step = float(os.environ.get("BENCH_FLOPS_PER_STEP", 37.5e6))
+    flops_per_step = float(os.environ.get("BENCH_FLOPS_PER_STEP", 37.24e6))
     mfu = per_chip * flops_per_step / vpu_peak
     print(
         json.dumps(

@@ -114,14 +114,19 @@ def unpack_bm(arrays: list, veh: VehicleState) -> VehicleState:
 #: than this many ranks in the per-step s-sorted layout are only checked by
 #: the (cheap, conservative-exact) suffix-scan violation test, which falls
 #: back to the dense SAT when any such pair could be within collision reach.
-#: W=12 means 12 vehicles packed within one collision reach (~10 m) before
-#: the dense path is ever needed — far beyond any physical pile-up.
-SORT_WINDOW = 12
+#: Sizing (round 4): the fallback cond is per 128-env BLOCK — one env with
+#: W+1 vehicles inside the ~10 m reach window flips the whole block to the
+#: dense pass for that frame.  Post-crash pile-ups at random policy pack
+#: far more than 12 vehicles into the window, which is why W=12's exact
+#: mode measured BELOW dense (94k vs 104k) while its banded-only ceiling
+#: ran 165k; larger W trades per-diagonal work for a rarer fallback.
+#: Override with HT_SORT_W for A/B sweeps.
+SORT_WINDOW = int(__import__("os").environ.get("HT_SORT_W", 12))
 
 
 def _collisions_sorted_lean(f, dt, px, py, heading, speed,
                             crashed_f, pend_left, impact_x0, impact_y0,
-                            ux, uy, ox, oy, W=SORT_WINDOW):
+                            ux, uy, ox, oy, W=None):
     """Banded swept-SAT collision pass for the s-sorted vehicle layout.
 
     The caller (``pallas_simulate_bm_sorted``) sorts the slot axis by
@@ -151,6 +156,8 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
     from highwayenv_tpu.utils.math import rects_intersecting_xy_folded
 
     V, blk = px.shape
+    if W is None:
+        W = int(__import__("os").environ.get("HT_SORT_W", SORT_WINDOW))
     W = min(W, V - 1)
     idx = f["idx"]
     # mosaic cannot pass i1 vectors across scf.if boundaries (operands or
@@ -931,54 +938,14 @@ def build_pallas_frame(
     body = functools.partial(
         _frame_body, fs, p, dt, raw, lean, has_linear, sorted_mode
     )
-    fields = BM_FIELDS
+    fields = BM_FIELDS + (["idx"] if sorted_mode else [])
     const_fields = BM_CONST_FIELDS + (["idx"] if sorted_mode else [])
     n = len(fields)
 
     n_mut = len(BM_MUT_FIELDS)
-    ux, uy = float(fs.u[0]), float(fs.u[1])
-    ox, oy = float(fs.origin[0]), float(fs.origin[1])
-
-    def _rank_perm(f):
-        """Stable s-rank permutation, entirely in-kernel (VPU mask math —
-        the round-3 XLA-side one-hot sort einsums were the measured
-        overhead that made the sorted kernel a net loss).  Returns the
-        one-hot P with P[r, i] = 1 where original slot i has rank r, plus
-        each slot's original index as an f32 field."""
-        V = f["px"].shape[0]
-        s = (f["px"] - ox) * ux + (f["py"] - oy) * uy  # (V, blk)
-        s_q = s[:, None, :]
-        s_c = s[None, :, :]
-        row3 = jax.lax.broadcasted_iota(jnp.int32, (V, V, f["px"].shape[1]), 0).astype(F32)
-        col3 = jax.lax.broadcasted_iota(jnp.int32, (V, V, f["px"].shape[1]), 1).astype(F32)
-        before = (s_c < s_q) | ((s_c == s_q) & (col3 < row3))
-        rank = jnp.sum(jnp.where(before, 1.0, 0.0), axis=1)  # (V, blk) of slot i=row
-        P = jnp.where(row3 == rank[None, :, :], 1.0, 0.0)  # (rank r, slot i)
-        # transposed one-hot for the inverse permute: mosaic cannot lower a
-        # dim-0 multi_reduction of the (V, V, blk) product ("Unsupported
-        # output implicit dimension"), so the unsort contracts PT along
-        # axis 1 instead of P along axis 0
-        PT = jnp.where(col3 == rank[:, None, :], 1.0, 0.0)  # (slot i, rank r)
-        idx_sorted = jnp.sum(P * col3, axis=1)  # orig index at each rank
-        return P, PT, idx_sorted
-
-    def _permute(P, x):
-        """sorted[r] = sum_i P[r, i] x[i]."""
-        return jnp.sum(P * x[None, :, :], axis=1)
-
-    def _unpermute(PT, g):
-        """orig[i] = sum_r PT[i, r] g[r]."""
-        return jnp.sum(PT * g[None, :, :], axis=1)
 
     def kernel(*refs):
         f = {name: r[:] for name, r in zip(fields, refs[:n])}
-        if sorted_mode:
-            # sort the slot axis by longitudinal position once per policy
-            # step (stable; equal-s ties keep original-index order), run
-            # every frame banded in rank space, un-permute at the end
-            P, PT, idx_sorted = _rank_perm(f)
-            f = {name: _permute(P, v) for name, v in f.items()}
-            f["idx"] = idx_sorted
         if frames == 1:
             out = body(f)
         else:
@@ -994,8 +961,6 @@ def build_pallas_frame(
 
             mut0 = {name: f[name] for name in BM_MUT_FIELDS}
             out = jax.lax.fori_loop(0, frames, step, mut0)
-        if sorted_mode:
-            out = {name: _unpermute(PT, out[name]) for name in BM_MUT_FIELDS}
         for name, r in zip(BM_MUT_FIELDS, refs[n:]):
             r[:] = out[name]
 
@@ -1028,33 +993,131 @@ def build_pallas_frame(
     return frame
 
 
+def build_sort_kernels(env, block: int = 128, interpret: bool = False):
+    """Two small pallas_calls bracketing the sorted frames kernel:
+
+    - ``sort_fn(arrays)``: stable s-rank permute of all BM_FIELDS to the
+      sorted layout + the original-index ``idx`` field (appended last);
+    - ``unsort_fn(mut_arrays, idx)``: inverse permute of the mutated
+      fields back to the original slot order.
+
+    They replace round 3's XLA-side one-hot einsums over ~30 stacked
+    (B, V) fields — the measured overhead that made the sorted kernel a
+    net -10% — with VPU mask-reduce contractions.  They are SEPARATE
+    pallas_calls (not fused into the frames kernel) because mosaic's
+    VMEM accounting sums the sort products, the banded frame set AND the
+    dense-fallback cond branch when they share one kernel: measured
+    220 MB of the 128 MB capacity.  The extra HBM round trip is ~75 MB/s
+    of traffic per step at B=4096 — noise against the 15-frame kernel.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fs = env._straight
+    ux, uy = float(fs.u[0]), float(fs.u[1])
+    ox, oy = float(fs.origin[0]), float(fs.origin[1])
+    n = len(BM_FIELDS)
+    n_mut = len(BM_MUT_FIELDS)
+    ipx = BM_FIELDS.index("px")
+    ipy = BM_FIELDS.index("py")
+
+    def sort_kernel(*refs):
+        ins, outs = refs[:n], refs[n:]
+        px, py = ins[ipx][:], ins[ipy][:]
+        V, blk = px.shape
+        s = (px - ox) * ux + (py - oy) * uy
+        row3 = jax.lax.broadcasted_iota(jnp.int32, (V, V, blk), 0).astype(F32)
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (V, V, blk), 1).astype(F32)
+        s_q, s_c = s[:, None, :], s[None, :, :]
+        # stable ascending rank: count of strictly-smaller s, ties by index
+        before = (s_c < s_q) | ((s_c == s_q) & (col3 < row3))
+        rank = jnp.sum(jnp.where(before, 1.0, 0.0), axis=1)  # (V, blk)
+        P = jnp.where(row3 == rank[None, :, :], 1.0, 0.0)  # (rank, slot)
+        for k in range(n):
+            outs[k][:] = jnp.sum(P * ins[k][:][None, :, :], axis=1)
+        outs[n][:] = jnp.sum(P * col3, axis=1)  # original index per rank
+
+    def unsort_kernel(*refs):
+        ins, outs = refs[: n_mut + 1], refs[n_mut + 1:]
+        idx_sorted = ins[n_mut][:]
+        V, blk = idx_sorted.shape
+        row3 = jax.lax.broadcasted_iota(jnp.int32, (V, V, blk), 0).astype(F32)
+        inv_hot = jnp.where(idx_sorted[None, :, :] == row3, 1.0, 0.0)
+        for k in range(n_mut):
+            outs[k][:] = jnp.sum(inv_hot * ins[k][:][None, :, :], axis=1)
+
+    def _call(kernel, n_in, n_out, arrays):
+        V, B = arrays[0].shape
+        grid = (B // block,)
+        spec = lambda: pl.BlockSpec(
+            (V, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((V, B), F32) for _ in range(n_out)
+            ],
+            grid=grid,
+            in_specs=[spec() for _ in range(n_in)],
+            out_specs=[spec() for _ in range(n_out)],
+            # ~30 (V, block) ins+outs plus the (V, V, block) permute
+            # products exceed the 16 MB default scoped-VMEM (measured
+            # 20.2 MB at V=51, block=128)
+            compiler_params=None
+            if interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(*arrays)
+
+    def sort_fn(arrays):
+        return _call(sort_kernel, n, n + 1, list(arrays))
+
+    def unsort_fn(mut_arrays, idx):
+        return _call(
+            unsort_kernel, n_mut + 1, n_mut, list(mut_arrays) + [idx]
+        )
+
+    return sort_fn, unsort_fn
+
+
 def pallas_simulate_bm_sorted(
     env, veh: VehicleState, slot_actions, frames: int,
     block: int = 128, interpret: bool = False,
 ) -> VehicleState:
     """Policy-step simulation with the s-sorted slot layout: ego meta-action
-    in XLA, then all frames in the VMEM-resident megakernel, whose collision
-    pass is banded over rank diagonals (``_collisions_sorted_lean``) — the
-    dense (V, V, blk) SAT, the kernel's dominant cost, collapses to W
-    reach-gated (V, blk) diagonals.
+    in XLA, then a Pallas sort kernel, all frames in the VMEM-resident
+    megakernel — whose collision pass is banded over rank diagonals
+    (``_collisions_sorted_lean``), collapsing the dense (V, V, blk) SAT to
+    W reach-gated (V, blk) diagonals — and a Pallas unsort kernel.
 
-    Round-4 rebuild: the stable s-sort lives INSIDE the kernel (one
-    (V, V, blk) rank pass + mask-reduce permutes at step start/end) instead
-    of round 3's XLA-side one-hot einsums over ~30 stacked (B, V) fields —
-    those einsums plus the W per-diagonal `scf.if`s were the measured -10%
-    that kept this kernel default-off."""
+    Round-4 rebuild vs the round-3 -10% version: permutes are VPU
+    mask-reduce pallas kernels instead of XLA one-hot einsums, and the W
+    per-diagonal `scf.if`s are gone (all diagonals always compute; only
+    the window-violation dense fallback remains a cond)."""
     ego_mask = veh.kind == KIND_EGO
     veh = env.action_type.apply(env.geo, veh, ego_mask, slot_actions)
 
     key = (id(env), block, interpret, frames, "sorted")
     cache = _FRAME_CACHE
     if key not in cache:
-        cache[key] = build_pallas_frame(
+        sort_fn, unsort_fn = build_sort_kernels(
+            env, block=block, interpret=interpret
+        )
+        frame_fn = build_pallas_frame(
             env, block=block, interpret=interpret, frames=frames,
             sorted_mode=True,
         )
-    arrays = cache[key](pack_bm(veh))
-    return unpack_bm(list(arrays), veh)
+        cache[key] = (sort_fn, frame_fn, unsort_fn)
+    sort_fn, frame_fn, unsort_fn = cache[key]
+    srt = sort_fn(pack_bm(veh))
+    out = frame_fn(list(srt))
+    n_mut = len(BM_MUT_FIELDS)
+    mut = unsort_fn(out[:n_mut], srt[-1])
+    # unpack_bm reads only the mutated fields; the const tail (still in
+    # sorted layout) is ignored — veh.replace keeps the originals
+    return unpack_bm(list(mut) + list(out[n_mut:len(BM_FIELDS)]), veh)
 
 
 def pallas_simulate_bm(

@@ -48,6 +48,11 @@ CASES = [
     # sequential mode on a straight network (forces the general _frame
     # path): pins the scan against the fast-path-validated seed
     ("highway-v0", 0, {"HT_SEQUENTIAL": "1"}),
+    # sequential mode where same-frame lane-change interactions are most
+    # frequent (round-4 coverage): regulated intersection and the fully
+    # -curved roundabout (verified: worst 8.9e-8 / 5.7e-14 over 30 steps)
+    ("intersection-v0", 0, {"HT_SEQUENTIAL": "1"}),
+    ("roundabout-v0", 0, {"HT_SEQUENTIAL": "1"}),
     ("roundabout-v0", 0),  # fully-curved network, bit-exact at 5.7e-14
     ("exit-v0", 1),
     ("two-way-v0", 1),
