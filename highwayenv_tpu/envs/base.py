@@ -1017,13 +1017,15 @@ class BaseEnv:
 
         if self._use_pallas(B):
             # batch-minor pallas frame kernel: whole frame VMEM-resident
-            # per 128-env block (ops/straight_pallas_bm.py).  The s-sorted
-            # banded collision variant (HT_SORTED=1, lean scenes only) is
-            # bitwise-equal but measured ~10% SLOWER end-to-end on real TPU
-            # at the headline config (97.5k vs 108.7k, B=4096, 2026-08-19):
-            # the per-step sort/unsort one-hot einsums plus the per-diagonal
-            # scf.if overhead outweigh the SAT work the banding removes.
-            # Kept as an opt-in experiment — it may win at larger V.
+            # per 128-env block (ops/straight_pallas_bm.py).  DEFAULT for
+            # lean scenes is the s-sorted banded collision variant
+            # (round 4): bitwise-equal to the dense pass and +57% at the
+            # headline (164.1k vs 104.5k env-steps/s, B=4096, 2026-08-20)
+            # once the sort moved into pallas permute kernels and the
+            # never-taken dense fallback moved to an XLA-level cond (the
+            # in-kernel fallback branch alone cost ~-45% through mosaic's
+            # branch-union VMEM allocation).  HT_NO_SORTED=1 forces the
+            # dense pair kernel.
             import os as _os
 
             from highwayenv_tpu.ops.straight_pallas_bm import (
@@ -1034,7 +1036,7 @@ class BaseEnv:
             lean = bool(getattr(self, "pallas_lean", True))
             sim = (
                 pallas_simulate_bm_sorted
-                if lean and _os.environ.get("HT_SORTED")
+                if lean and not _os.environ.get("HT_NO_SORTED")
                 else pallas_simulate_bm
             )
             veh = sim(

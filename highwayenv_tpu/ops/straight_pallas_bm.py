@@ -132,18 +132,22 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
     The caller (``pallas_simulate_bm_sorted``) sorts the slot axis by
     longitudinal position once per policy step, so colliding pairs are
     rank-local: SAT runs only on the W nearest rank diagonals (via
-    ``pltpu.roll``), each gated by an exact sphere pre-check and skipped
-    with ``lax.cond`` when no pair on that diagonal is within reach.
+    ``pltpu.roll``), each masked by the exact sphere pre-check.
     Exactness is guaranteed by construction:
 
     - the sphere pre-check (dist^2 <= reach^2) is the SAME gate the dense
       pass applies (road collision protocol, ops/collision.py), so a pair
       outside it contributes nothing in either formulation;
     - pairs beyond the rank window are covered by a conservative suffix
-      -scan violation test — if ANY far-rank pair could be within the
-      global max reach, the whole frame falls back to the dense pair SAT
-      (identical results, just slower).  The test over-flags but never
-      under-flags, so banded results are exact whenever used.
+      -scan violation test returned as the 5th output (an f32 flag field):
+      if ANY far-rank pair could be within the global max reach, the
+      caller re-runs the whole policy step through the DENSE kernel (an
+      XLA-level lax.cond in ``pallas_simulate_bm_sorted``).  The test
+      over-flags but never under-flags, so banded results are exact
+      whenever accepted.  Round 4 moved the fallback OUT of this kernel:
+      an in-kernel `scf.if` dense branch cost ~-45% even though the flag
+      NEVER fired at the headline (measured 0.0 rate over 4096 envs x 256
+      steps) — mosaic allocates the VMEM union of both branches.
 
     Per-pair math and role assignment match the dense pass: SAT roles
     follow the lower *original* index (the ``idx`` const field carries it
@@ -207,197 +211,93 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
     sm = jnp.where(in_rng, roll_up(smin, off), INF)
     sx = jnp.where(in_rng, roll_up(smax, off), -INF)
     flag = is_act & (sm <= s_new + R) & (sx >= s_new - R)
-    viol = jnp.max(jnp.where(flag, 1.0, 0.0)) > 0.5
 
-    def dense(_):
-        """Exact fallback: the dense pair SAT with roles by original index
-        (enumerates each unordered pair once, lower index as rect A — the
-        reference's list order, road.py:477-481).  Impact is the LAST
-        -written pair's (PARITY #2): per slot, the max-ORIGINAL-index
-        row-side partner wins, else the max-index column-side partner."""
-        def anyf(x, axis):
-            return jnp.max(jnp.where(x, 1.0, 0.0), axis=axis) > 0.5
-
-        idx_q = idx[:, None, :]
-        idx_c = idx[None, :, :]
-        upper = idx_q < idx_c
-        pair_ok = (
-            upper
-            & (act_f[:, None, :] > 0.5) & (act_f[None, :, :] > 0.5)
-            & ((chk_f[:, None, :] > 0.5) | (chk_f[None, :, :] > 0.5))
-            & (coll_f[:, None, :] > 0.5) & (coll_f[None, :, :] > 0.5)
+    # last-written impact (PARITY #2) as a running max-key selection
+    # over the diagonals: row-side = the slot writes as the reference
+    # pair's `self` (lower ORIGINAL index), column-side = as `other`;
+    # keys are the partner's original index, largest key wins; the
+    # row side beats the column side at the end (road.py:477-481
+    # write order).
+    crashed = crashed_f
+    pend = pend_f
+    NEG = jnp.full_like(s_new, -1.0)
+    best_rk, imp_rx, imp_ry = NEG, jnp.zeros_like(s_new), jnp.zeros_like(s_new)
+    best_ck, imp_cx, imp_cy = NEG, jnp.zeros_like(s_new), jnp.zeros_like(s_new)
+    for d in range(1, W + 1):
+        px_p = roll_up(px, d)
+        py_p = roll_up(py, d)
+        h_p = roll_up(heading, d)
+        sp_p = roll_up(speed, d)
+        vx_p = roll_up(velx, d)
+        vy_p = roll_up(vely, d)
+        l_p = roll_up(length, d)
+        w_p = roll_up(width, d)
+        dg_p = roll_up(diag, d)
+        chk_p = roll_up(chk_f, d)
+        coll_p = roll_up(coll_f, d)
+        act_p2 = roll_up(act_f, d)
+        idx_p = roll_up(idx, d)
+        # reach uses the lower-original-index member's speed (the
+        # dense pass's q row); booleans and the toward-self MTV
+        # are role-symmetric so no other swap is needed
+        speed_a = jnp.where(idx > idx_p, sp_p, speed)
+        reach = (diag + dg_p) / 2 + speed_a * dt
+        dx = px - px_p
+        dy = py - py_p
+        ok = (
+            (row2 < float(V - d))
+            & (act_f > 0.5) & (act_p2 > 0.5)
+            & ((chk_f > 0.5) | (chk_p > 0.5))
+            & (coll_f > 0.5) & (coll_p > 0.5)
+            & (dx * dx + dy * dy <= reach * reach)
         )
-        dx = px[:, None, :] - px[None, :, :]
-        dy = py[:, None, :] - py[None, :, :]
-        dist2 = dx * dx + dy * dy
-        reach = (diag[:, None, :] + diag[None, :, :]) / 2 + speed[
-            :, None, :
-        ] * dt
-        pair_ok = pair_ok & (dist2 <= reach * reach)
         inter, will, tx, ty = rects_intersecting_xy_folded(
-            px[:, None, :], py[:, None, :],
-            length[:, None, :], width[:, None, :], heading[:, None, :],
-            px[None, :, :], py[None, :, :],
-            length[None, :, :], width[None, :, :], heading[None, :, :],
-            relx=(velx[:, None, :] - velx[None, :, :]) * dt,
-            rely=(vely[:, None, :] - vely[None, :, :]) * dt,
+            px, py, length, width, heading,
+            px_p, py_p, l_p, w_p, h_p,
+            relx=(velx - vx_p) * dt,
+            rely=(vely - vy_p) * dt,
         )
-        inter = inter & pair_ok
-        w = will & pair_ok
-        last_rk = jnp.max(jnp.where(w, idx_c, -1.0), axis=1)  # (V, blk)
-        last_ck = jnp.max(jnp.where(w, idx_q, -1.0), axis=0)
-        sel_row = w & (idx_c >= last_rk[:, None, :])
-        sel_col = w & (idx_q >= last_ck[None, :, :])
-        imp_rx = jnp.sum(jnp.where(sel_row, 0.5 * tx, 0.0), axis=1)
-        imp_ry = jnp.sum(jnp.where(sel_row, 0.5 * ty, 0.0), axis=1)
-        imp_cx = jnp.sum(jnp.where(sel_col, -0.5 * tx, 0.0), axis=0)
-        imp_cy = jnp.sum(jnp.where(sel_col, -0.5 * ty, 0.0), axis=0)
-        any_row = last_rk >= 0.0
-        any_col = last_ck >= 0.0
-        ix = jnp.where(
-            any_row, imp_rx, jnp.where(any_col, imp_cx, impact_x0)
+        inter_f = jnp.where(inter & ok, 1.0, 0.0)
+        wf = jnp.where(will & ok, 1.0, 0.0)
+        cx = 0.5 * wf * tx
+        cy = 0.5 * wf * ty
+        # partner-side contributions land d ranks ahead; rows wrapped
+        # by the roll carry zeros (masked by ok above)
+        crashed = jnp.maximum(
+            crashed, jnp.maximum(inter_f, pltpu.roll(inter_f, d, 0))
         )
-        iy = jnp.where(
-            any_row, imp_ry, jnp.where(any_col, imp_cy, impact_y0)
-        )
-        pend = (pend_f > 0.5) | any_row | any_col
-        crashed = (crashed_f > 0.5) | anyf(inter, 1) | anyf(inter, 0)
-        return (
-            jnp.where(crashed, 1.0, 0.0), jnp.where(pend, 1.0, 0.0), ix, iy
-        )
-
-    def banded(_):
-        crashed = crashed_f
-        pend = pend_f
-        # last-written impact (PARITY #2) as a running max-key selection
-        # over the diagonals: row-side = the slot writes as the reference
-        # pair's `self` (lower ORIGINAL index), column-side = as `other`;
-        # keys are the partner's original index, largest key wins; the
-        # row side beats the column side at the end (road.py:477-481
-        # write order).
-        NEG = jnp.full_like(s_new, -1.0)
-        best_rk, imp_rx, imp_ry = NEG, jnp.zeros_like(s_new), jnp.zeros_like(s_new)
-        best_ck, imp_cx, imp_cy = NEG, jnp.zeros_like(s_new), jnp.zeros_like(s_new)
-        use_inner_conds = _sort_mode() == "inner"
-        for d in range(1, W + 1):
-            s_p = roll_up(s_new, d)
-            act_p = roll_up(act_f, d)
-            near = (
-                (row2 < float(V - d)) & (act_f > 0.5) & (act_p > 0.5)
-                & (jnp.abs(s_p - s_new) <= R)
-            )
-
-            def fire(_, d=d):
-                px_p = roll_up(px, d)
-                py_p = roll_up(py, d)
-                h_p = roll_up(heading, d)
-                sp_p = roll_up(speed, d)
-                vx_p = roll_up(velx, d)
-                vy_p = roll_up(vely, d)
-                l_p = roll_up(length, d)
-                w_p = roll_up(width, d)
-                dg_p = roll_up(diag, d)
-                chk_p = roll_up(chk_f, d)
-                coll_p = roll_up(coll_f, d)
-                act_p2 = roll_up(act_f, d)
-                idx_p = roll_up(idx, d)
-                # reach uses the lower-original-index member's speed (the
-                # dense pass's q row); booleans and the toward-self MTV
-                # are role-symmetric so no other swap is needed
-                speed_a = jnp.where(idx > idx_p, sp_p, speed)
-                reach = (diag + dg_p) / 2 + speed_a * dt
-                dx = px - px_p
-                dy = py - py_p
-                ok = (
-                    (row2 < float(V - d))
-                    & (act_f > 0.5) & (act_p2 > 0.5)
-                    & ((chk_f > 0.5) | (chk_p > 0.5))
-                    & (coll_f > 0.5) & (coll_p > 0.5)
-                    & (dx * dx + dy * dy <= reach * reach)
-                )
-                inter, will, tx, ty = rects_intersecting_xy_folded(
-                    px, py, length, width, heading,
-                    px_p, py_p, l_p, w_p, h_p,
-                    relx=(velx - vx_p) * dt,
-                    rely=(vely - vy_p) * dt,
-                )
-                inter_f = jnp.where(inter & ok, 1.0, 0.0)
-                wf = jnp.where(will & ok, 1.0, 0.0)
-                return inter_f, wf, 0.5 * wf * tx, 0.5 * wf * ty
-
-            def skip(_):
-                z = jnp.zeros_like(s_new)
-                return z, z, z, z
-
-            if use_inner_conds:
-                any_near = jnp.max(jnp.where(near, 1.0, 0.0)) > 0.5
-                inter_f, wf, cx, cy = jax.lax.cond(any_near, fire, skip, ())
-            else:
-                inter_f, wf, cx, cy = fire(())
-            # partner-side contributions land d ranks ahead; rows wrapped
-            # by the roll carry zeros (masked inside fire)
-            crashed = jnp.maximum(
-                crashed, jnp.maximum(inter_f, pltpu.roll(inter_f, d, 0))
-            )
-            pend = jnp.maximum(pend, jnp.maximum(wf, pltpu.roll(wf, d, 0)))
-            # running last-write selection (4 candidate writes per rank):
-            idx_p = roll_up(idx, d)
-            w_r = wf > 0.5
-            self_r = idx < idx_p
-            m = w_r & self_r & (idx_p > best_rk)
-            imp_rx = jnp.where(m, cx, imp_rx)
-            imp_ry = jnp.where(m, cy, imp_ry)
-            best_rk = jnp.where(m, idx_p, best_rk)
-            m2 = w_r & ~self_r & (idx_p > best_ck)
-            imp_cx = jnp.where(m2, cx, imp_cx)
-            imp_cy = jnp.where(m2, cy, imp_cy)
-            best_ck = jnp.where(m2, idx_p, best_ck)
-            wf_s = pltpu.roll(wf, d, 0)
-            cx_s = pltpu.roll(cx, d, 0)
-            cy_s = pltpu.roll(cy, d, 0)
-            idx_s = pltpu.roll(idx, d, 0)  # partner's (r row's) orig index
-            w_p2 = wf_s > 0.5
-            self_p = idx < idx_s
-            m3 = w_p2 & self_p & (idx_s > best_rk)
-            imp_rx = jnp.where(m3, -cx_s, imp_rx)
-            imp_ry = jnp.where(m3, -cy_s, imp_ry)
-            best_rk = jnp.where(m3, idx_s, best_rk)
-            m4 = w_p2 & ~self_p & (idx_s > best_ck)
-            imp_cx = jnp.where(m4, -cx_s, imp_cx)
-            imp_cy = jnp.where(m4, -cy_s, imp_cy)
-            best_ck = jnp.where(m4, idx_s, best_ck)
-        any_row = best_rk >= 0.0
-        any_col = best_ck >= 0.0
-        ix = jnp.where(
-            any_row, imp_rx, jnp.where(any_col, imp_cx, impact_x0)
-        )
-        iy = jnp.where(
-            any_row, imp_ry, jnp.where(any_col, imp_cy, impact_y0)
-        )
-        return crashed, pend, ix, iy
-
-    mode = _sort_mode()
-    if mode == "nocond":
-        # timing experiment: banded always, violation fallback disabled —
-        # NOT exact (window escapes unhandled); never the default
-        crashed_o, pend_o, ix_o, iy_o = banded(())
-    elif mode == "dense":
-        crashed_o, pend_o, ix_o, iy_o = dense(())
-    else:
-        crashed_o, pend_o, ix_o, iy_o = jax.lax.cond(viol, dense, banded, ())
-    return crashed_o > 0.5, pend_o > 0.5, ix_o, iy_o
-
-
-def _sort_mode() -> str:
-    """Collision-pass structure knob for the sorted kernel (experiments):
-    full (default: all W diagonals computed unconditionally, one outer
-    violation-fallback cond) | inner (round-3 behavior: a per-diagonal
-    `scf.if` skips reach-empty diagonals — measured SLOWER end-to-end) |
-    nocond (outer fallback cond also removed — timing only, not exact) |
-    dense."""
-    import os
-
-    return os.environ.get("HT_SORT_MODE", "full")
+        pend = jnp.maximum(pend, jnp.maximum(wf, pltpu.roll(wf, d, 0)))
+        # running last-write selection (4 candidate writes per rank):
+        w_r = wf > 0.5
+        self_r = idx < idx_p
+        m = w_r & self_r & (idx_p > best_rk)
+        imp_rx = jnp.where(m, cx, imp_rx)
+        imp_ry = jnp.where(m, cy, imp_ry)
+        best_rk = jnp.where(m, idx_p, best_rk)
+        m2 = w_r & ~self_r & (idx_p > best_ck)
+        imp_cx = jnp.where(m2, cx, imp_cx)
+        imp_cy = jnp.where(m2, cy, imp_cy)
+        best_ck = jnp.where(m2, idx_p, best_ck)
+        wf_s = pltpu.roll(wf, d, 0)
+        cx_s = pltpu.roll(cx, d, 0)
+        cy_s = pltpu.roll(cy, d, 0)
+        idx_s = pltpu.roll(idx, d, 0)  # partner's (r row's) orig index
+        w_p2 = wf_s > 0.5
+        self_p = idx < idx_s
+        m3 = w_p2 & self_p & (idx_s > best_rk)
+        imp_rx = jnp.where(m3, -cx_s, imp_rx)
+        imp_ry = jnp.where(m3, -cy_s, imp_ry)
+        best_rk = jnp.where(m3, idx_s, best_rk)
+        m4 = w_p2 & ~self_p & (idx_s > best_ck)
+        imp_cx = jnp.where(m4, -cx_s, imp_cx)
+        imp_cy = jnp.where(m4, -cy_s, imp_cy)
+        best_ck = jnp.where(m4, idx_s, best_ck)
+    any_row = best_rk >= 0.0
+    any_col = best_ck >= 0.0
+    ix = jnp.where(any_row, imp_rx, jnp.where(any_col, imp_cx, impact_x0))
+    iy = jnp.where(any_row, imp_ry, jnp.where(any_col, imp_cy, impact_y0))
+    viol_f = jnp.where(flag, 1.0, 0.0)
+    return crashed > 0.5, pend > 0.5, ix, iy, viol_f
 
 
 def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
@@ -764,9 +664,11 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     from highwayenv_tpu.utils.math import rects_intersecting_xy_folded
 
     if lean and sorted_mode:
-        crashed_b, pend_b, impact_x, impact_y = _collisions_sorted_lean(
-            f, dt, px, py, heading, speed,
-            crashed_f, pend_left, impact_x, impact_y, ux, uy, ox, oy,
+        crashed_b, pend_b, impact_x, impact_y, viol_f = (
+            _collisions_sorted_lean(
+                f, dt, px, py, heading, speed,
+                crashed_f, pend_left, impact_x, impact_y, ux, uy, ox, oy,
+            )
         )
         out = dict(f)
         out.update(
@@ -776,6 +678,10 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
             impact_pending=pend_b.astype(F32),
             impact_x=impact_x, impact_y=impact_y,
             steering=new_steer, accel=new_accel,
+            # sticky window-violation flag across the step's frames: any
+            # flagged frame invalidates the banded step (the caller then
+            # re-runs it densely)
+            viol=jnp.maximum(f["viol"], viol_f),
         )
         return out
 
@@ -938,11 +844,18 @@ def build_pallas_frame(
     body = functools.partial(
         _frame_body, fs, p, dt, raw, lean, has_linear, sorted_mode
     )
-    fields = BM_FIELDS + (["idx"] if sorted_mode else [])
+    # sorted mode threads two extras: the window-violation flag as an
+    # additional MUT field (sticky-OR across frames, zero-initialized by
+    # the caller) and the original-index const `idx`.  Mut fields stay a
+    # prefix of `fields` so the in-place aliasing map stays {i: i}.
+    mut_fields = BM_MUT_FIELDS + (["viol"] if sorted_mode else [])
+    fields = (
+        mut_fields + BM_CONST_FIELDS + (["idx"] if sorted_mode else [])
+    )
     const_fields = BM_CONST_FIELDS + (["idx"] if sorted_mode else [])
     n = len(fields)
 
-    n_mut = len(BM_MUT_FIELDS)
+    n_mut = len(mut_fields)
 
     def kernel(*refs):
         f = {name: r[:] for name, r in zip(fields, refs[:n])}
@@ -956,12 +869,12 @@ def build_pallas_frame(
             def step(_i, mut):
                 return {
                     name: body({**mut, **consts})[name]
-                    for name in BM_MUT_FIELDS
+                    for name in mut_fields
                 }
 
-            mut0 = {name: f[name] for name in BM_MUT_FIELDS}
+            mut0 = {name: f[name] for name in mut_fields}
             out = jax.lax.fori_loop(0, frames, step, mut0)
-        for name, r in zip(BM_MUT_FIELDS, refs[n:]):
+        for name, r in zip(mut_fields, refs[n:]):
             r[:] = out[name]
 
     def frame(arrays):
@@ -1093,9 +1006,13 @@ def pallas_simulate_bm_sorted(
     W reach-gated (V, blk) diagonals — and a Pallas unsort kernel.
 
     Round-4 rebuild vs the round-3 -10% version: permutes are VPU
-    mask-reduce pallas kernels instead of XLA one-hot einsums, and the W
-    per-diagonal `scf.if`s are gone (all diagonals always compute; only
-    the window-violation dense fallback remains a cond)."""
+    mask-reduce pallas kernels instead of XLA one-hot einsums, the W
+    per-diagonal `scf.if`s are gone (all diagonals always compute), and
+    the exactness fallback moved OUT of the kernel: the kernel emits a
+    sticky window-violation flag and an XLA-level ``lax.cond`` re-runs
+    the step through the DENSE kernel when it fires — measured 0.0 rate
+    at the headline, but an in-kernel fallback branch cost ~-45% just by
+    existing (mosaic allocates the VMEM union of cond branches)."""
     ego_mask = veh.kind == KIND_EGO
     veh = env.action_type.apply(env.geo, veh, ego_mask, slot_actions)
 
@@ -1112,12 +1029,28 @@ def pallas_simulate_bm_sorted(
         cache[key] = (sort_fn, frame_fn, unsort_fn)
     sort_fn, frame_fn, unsort_fn = cache[key]
     srt = sort_fn(pack_bm(veh))
-    out = frame_fn(list(srt))
     n_mut = len(BM_MUT_FIELDS)
+    # kernel field order: mut | viol (zero-init) | const | idx
+    viol0 = jnp.zeros_like(srt[0])
+    ins = (
+        list(srt[:n_mut]) + [viol0]
+        + list(srt[n_mut:len(BM_FIELDS)]) + [srt[-1]]
+    )
+    out = frame_fn(ins)
+    viol_any = jnp.max(out[n_mut]) > 0.5
     mut = unsort_fn(out[:n_mut], srt[-1])
     # unpack_bm reads only the mutated fields; the const tail (still in
     # sorted layout) is ignored — veh.replace keeps the originals
-    return unpack_bm(list(mut) + list(out[n_mut:len(BM_FIELDS)]), veh)
+    banded_veh = unpack_bm(
+        list(mut) + list(out[n_mut + 1: n_mut + 1 + len(BM_CONST_FIELDS)]),
+        veh,
+    )
+    return jax.lax.cond(
+        viol_any,
+        lambda v: _simulate_bm_core(env, v, frames, block, interpret),
+        lambda _v: banded_veh,
+        veh,
+    )
 
 
 def pallas_simulate_bm(
@@ -1130,7 +1063,15 @@ def pallas_simulate_bm(
     layout; round 1's batch-major megakernel hung mosaic)."""
     ego_mask = veh.kind == KIND_EGO
     veh = env.action_type.apply(env.geo, veh, ego_mask, slot_actions)
+    return _simulate_bm_core(env, veh, frames, block, interpret)
 
+
+def _simulate_bm_core(
+    env, veh: VehicleState, frames: int, block: int, interpret: bool
+) -> VehicleState:
+    """Dense megakernel step WITHOUT the ego meta-action (already applied)
+    — shared by :func:`pallas_simulate_bm` and the sorted path's
+    window-violation fallback."""
     key = (id(env), block, interpret, frames)
     cache = _FRAME_CACHE
     if key not in cache:
