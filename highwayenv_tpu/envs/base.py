@@ -868,9 +868,13 @@ class BaseEnv:
         in a (P, ...) batch produces the same bits as in a (B, ...) batch.
         Row-level reset determinism holds (unlike ``fresh_pool``), verified
         bitwise in tests/envs/test_compact_autoreset.py.  Overflow-safe:
-        if more than ``reset_slots`` rows finish in one step the while_loop
-        takes another pass; on steps where NO row is done the body is
-        skipped entirely.
+        one unconditional pass plus ceil(B/P)-1 ``lax.cond``-guarded extra
+        passes cover every possible done count.  (Round 4: this was a
+        ``lax.while_loop``, which is semantically identical — but a
+        while_loop nested inside ``lax.scan`` hard-crashes the TPU runtime
+        ("TPU worker process crashed: kernel fault", reproduced minimally
+        with pure-XLA gather/scatter bodies); the cond chain compiles and
+        runs, and skipped passes cost nothing at run time.)
 
         When ``obs`` is given (envs that compute obs inside ``_step``),
         done rows' observations are replaced by the reset obs, matching
@@ -903,11 +907,12 @@ class BaseEnv:
             mask = mask.at[idx].set(jnp.where(valid, False, mask[idx]))
             return st, ob, mask
 
-        states, obs, _ = jax.lax.while_loop(
-            lambda c: jnp.any(c[2]),
-            body,
-            (states, obs if carry_obs else jnp.zeros(()), done),
-        )
+        carry = (states, obs if carry_obs else jnp.zeros(()), done)
+        for _ in range(-(-B // P)):  # passes beyond the first usually skip
+            carry = jax.lax.cond(
+                jnp.any(carry[2]), body, lambda c: c, carry
+            )
+        states, obs, _ = carry
         return (states, obs) if carry_obs else states
 
     def step_autoreset_batched(
