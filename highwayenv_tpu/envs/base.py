@@ -687,7 +687,21 @@ class BaseEnv:
             time=state.time + 1.0 / self.config["policy_frequency"]
         )
         state = self._simulate(state, slot_actions)
-        return self._finish_step(state, action)
+        obs, state, reward, terminated, truncated, info = self._finish_step(
+            state, action
+        )
+        # population hook AFTER the head: its effects reach only the NEXT
+        # step's observation (e.g. intersection's post-step spawn,
+        # intersection_env.py:136-140)
+        state = self._post_step_population(state)
+        return obs, state, reward, terminated, truncated, info
+
+    def _post_step_population(self, state: EnvState) -> EnvState:
+        """Per-step population update (spawns/clears), applied after the
+        observation/reward head so it affects only the NEXT step.  Identity
+        in the base env; envs overriding it (instead of ``_step``) keep the
+        batched sim kernels of ``_simulate_batched`` eligible."""
+        return state
 
     def _finish_step(self, state: EnvState, action):
         """Observation/reward/termination for an already-simulated state."""
@@ -826,8 +840,24 @@ class BaseEnv:
             state, action
         )
         done = terminated | truncated
-        k_reset, k_next = jax.random.split(state.key)
-        _reset_obs, reset_state = self._reset(k_reset)  # obs branch DCE'd
+        has_hook = (
+            type(self)._post_step_population
+            is not BaseEnv._post_step_population
+        )
+        if has_hook:
+            # the hook's effects must not reach THIS step's observation
+            # (reference order: obs first, then the population update),
+            # so observe pre-hook and patch done rows with the reset obs.
+            # The reset key splits the POST-hook key — the hook consumes a
+            # split of the step key itself (matching the former
+            # _step-override order, which ran the hook before autoreset)
+            obs = self._observe(state)
+            state = self._post_step_population(state)
+            k_reset, k_next = jax.random.split(state.key)
+            reset_obs, reset_state = self._reset(k_reset)
+        else:
+            k_reset, k_next = jax.random.split(state.key)
+            _reset_obs, reset_state = self._reset(k_reset)  # obs DCE'd
         reset_state = reset_state.replace(key=k_next)
 
         def where_done(x, y):
@@ -835,7 +865,10 @@ class BaseEnv:
             return jnp.where(d, x, y)
 
         state = jax.tree.map(where_done, reset_state, state)
-        obs = self._observe(state)
+        if has_hook:
+            obs = jax.tree.map(where_done, reset_obs, obs)
+        else:
+            obs = self._observe(state)
         return obs, state, reward, terminated, truncated, info
 
     def _autoreset(self, obs, new_state, reward, terminated, truncated, info):
@@ -955,8 +988,20 @@ class BaseEnv:
         st, reward, term, trunc, info = jax.vmap(self._finish_head)(
             sim, actions
         )
-        st = self._compact_autoreset(st, term | trunc, reset_slots)
-        obs = jax.vmap(self._observe)(st)
+        if (
+            type(self)._post_step_population
+            is not BaseEnv._post_step_population
+        ):
+            # reference order: obs BEFORE the population update; done rows'
+            # obs patched by the compact reset
+            obs = jax.vmap(self._observe)(st)
+            st = jax.vmap(self._post_step_population)(st)
+            st, obs = self._compact_autoreset(
+                st, term | trunc, reset_slots, obs=obs
+            )
+        else:
+            st = self._compact_autoreset(st, term | trunc, reset_slots)
+            obs = jax.vmap(self._observe)(st)
         return obs, st, reward, term, trunc, info
 
     def step_batched(self, states: EnvState, actions):
@@ -971,7 +1016,11 @@ class BaseEnv:
         sim = self._simulate_batched(states, actions)
         if sim is None:
             return jax.vmap(self._step)(states, actions)
-        return jax.vmap(self._finish_step)(sim, actions)
+        obs, st, reward, term, trunc, info = jax.vmap(self._finish_step)(
+            sim, actions
+        )
+        st = jax.vmap(self._post_step_population)(st)
+        return obs, st, reward, term, trunc, info
 
     def _simulate_batched(self, states: EnvState, actions):
         """Run one policy step's simulation frames over a leading env axis,
@@ -1008,13 +1057,17 @@ class BaseEnv:
 
         if general:
             # general-path megakernel: all frames of one policy step in one
-            # VMEM-resident pallas_call (ops/general_pallas_bm.py)
+            # VMEM-resident pallas_call (ops/general_pallas_bm.py).  For
+            # regulated envs the right-of-way pass runs INSIDE the kernel,
+            # masked to each env's tick phase (steps0 carries the per-env
+            # frame counter at step start).
             from highwayenv_tpu.ops.general_pallas_bm import (
                 pallas_simulate_general,
             )
 
             veh = pallas_simulate_general(
-                self, states.vehicles, slot_actions, self.frames_per_step
+                self, states.vehicles, slot_actions, self.frames_per_step,
+                steps0=states.steps if self.regulated else None,
             )
             return states.replace(
                 vehicles=veh, steps=states.steps + self.frames_per_step

@@ -396,12 +396,11 @@ class IntersectionEnv(BaseEnv):
         drop = ~is_ego & (veh.kind != KIND_PAD) & leaving
         return veh.replace(kind=jnp.where(drop, KIND_PAD, veh.kind))
 
-    def _step(self, state: EnvState, action):
-        obs, state, reward, terminated, truncated, info = super()._step(
-            state, action
-        )
-        # post-step population update (intersection_env.py:136-140); affects
-        # only the *next* step's observation, as in the reference
+    def _post_step_population(self, state: EnvState) -> EnvState:
+        """Post-step population update (intersection_env.py:136-140);
+        affects only the *next* step's observation, as in the reference.
+        A hook (not a ``_step`` override) so the batched sim kernels of
+        ``_simulate_batched`` stay eligible (round 4)."""
         k_spawn, k_next = jax.random.split(state.key)
         veh = self._clear_vehicles(state.vehicles)
         free_slot = jnp.argmax(veh.kind[: self._n_npc] == KIND_PAD)
@@ -409,8 +408,7 @@ class IntersectionEnv(BaseEnv):
             veh, free_slot, k_spawn, jnp.float32(0.0),
             spawn_probability=self.config["spawn_probability"],
         )
-        state = state.replace(vehicles=veh, key=k_next)
-        return obs, state, reward, terminated, truncated, info
+        return state.replace(vehicles=veh, key=k_next)
 
     # ------------------------------------------------------------------ #
     # rewards / termination

@@ -107,6 +107,7 @@ class GeneralGeo(NamedTuple):
     to_node: np.ndarray
     succ_base: np.ndarray  # (L, S), -1 pad
     succ_n: np.ndarray  # (L, S)
+    priority: np.ndarray  # (L,) right-of-way priority (RegulatedRoad)
     max_edge_lanes: int
 
     @property
@@ -152,6 +153,7 @@ def extract_geo(env) -> GeneralGeo:
         to_node=a(g.to_node).astype(np.int32),
         succ_base=a(g.succ_edge_base).astype(np.int32),
         succ_n=a(g.succ_edge_n).astype(np.int32),
+        priority=a(g.priority).astype(np.int32),
         max_edge_lanes=int(env.max_edge_lanes),
     )
 
@@ -163,7 +165,14 @@ def try_general(env) -> GeneralGeo | None:
 
     if env._straight is not None:  # the specialized kernel is better
         return None
-    if env.regulated:
+    # Regulated envs are SUPPORTED since round 4 (the right-of-way pass
+    # runs inside the kernel, masked per env's tick phase; bitwise-matching
+    # tests in test_general_pallas.py) but OPT-IN: evaluating the conflict
+    # pass every frame (per-env phases prevent the XLA scheduler's
+    # tick-slot amortization) measured 2.4x SLOWER than the vmapped XLA
+    # path at V=25/L=20/T=11 (123 vs 51 ms/step, B=1024, 2026-08-20).
+    # Enable with HT_REG_PALLAS=1 to iterate on the enforcement lowering.
+    if env.regulated and not __import__("os").environ.get("HT_REG_PALLAS"):
         return None
     if type(env)._step is not BaseEnv._step:
         return None
@@ -198,19 +207,28 @@ GEN_CONST_BASE = [
     "accel_p0", "accel_p1", "accel_p2", "steer_p0", "steer_p1",
     "route_len", "action",
 ]
+# RegulatedRoad extras (regulated=True builds only): the per-env frame
+# counter at step start (tick phase) and the yielding state
+GEN_REG_MUT = ["is_yielding", "yield_timer"]
+GEN_REG_CONST = ["steps0"]
 
 
-def gen_fields(R: int) -> tuple[list, list]:
+def gen_fields(R: int, regulated: bool = False) -> tuple[list, list]:
+    mut = list(GEN_MUT_FIELDS) + (GEN_REG_MUT if regulated else [])
     const = list(GEN_CONST_BASE)
     for r in range(R):
         const += [f"route_base_{r}", f"route_id_{r}", f"route_n_{r}"]
-    return list(GEN_MUT_FIELDS), const
+    if regulated:
+        const += GEN_REG_CONST
+    return mut, const
 
 
-def pack_general(veh: VehicleState, slot_actions) -> list:
-    """VehicleState (B, V) -> list of (V, B) f32 arrays."""
+def pack_general(veh: VehicleState, slot_actions, steps0=None) -> list:
+    """VehicleState (B, V) -> list of (V, B) f32 arrays.  ``steps0`` (B,)
+    enables the regulated field set (tick phase + yielding state)."""
     R = veh.route_base.shape[-1]
-    mut, const = gen_fields(R)
+    regulated = steps0 is not None
+    mut, const = gen_fields(R, regulated)
     f = {
         "px": veh.pos[..., 0], "py": veh.pos[..., 1],
         "heading": veh.heading, "speed": veh.speed,
@@ -244,12 +262,21 @@ def pack_general(veh: VehicleState, slot_actions) -> list:
         f[f"route_base_{r}"] = veh.route_base[..., r]
         f[f"route_id_{r}"] = veh.route_id[..., r]
         f[f"route_n_{r}"] = veh.route_n[..., r]
+    if regulated:
+        f["is_yielding"] = veh.is_yielding
+        f["yield_timer"] = veh.yield_timer
+        f["steps0"] = jnp.broadcast_to(
+            jnp.asarray(steps0, F32)[..., None], veh.timer.shape
+        )
     return [jnp.asarray(f[n], F32).T for n in mut + const]
 
 
-def unpack_general(arrays: list, veh: VehicleState) -> VehicleState:
-    f = {n: a.T for n, a in zip(GEN_MUT_FIELDS, arrays)}
-    return veh.replace(
+def unpack_general(
+    arrays: list, veh: VehicleState, regulated: bool = False
+) -> VehicleState:
+    names = GEN_MUT_FIELDS + (GEN_REG_MUT if regulated else [])
+    f = {n: a.T for n, a in zip(names, arrays)}
+    out = veh.replace(
         pos=jnp.stack([f["px"], f["py"]], axis=-1),
         heading=f["heading"], speed=f["speed"],
         lane=f["lane"].astype(jnp.int32),
@@ -262,6 +289,12 @@ def unpack_general(arrays: list, veh: VehicleState) -> VehicleState:
         route_ptr=f["route_ptr"].astype(jnp.int32),
         speed_index=f["speed_index"].astype(jnp.int32),
     )
+    if regulated:
+        out = out.replace(
+            is_yielding=f["is_yielding"] > 0.5,
+            yield_timer=f["yield_timer"].astype(veh.yield_timer.dtype),
+        )
+    return out
 
 
 # --------------------------------------------------------------------------- #
@@ -445,11 +478,14 @@ def _frame_body_general(
     has_linear: bool,
     meta: tuple | None,  # (target_speeds tuple, longitudinal, lateral) or None
     R: int,
+    reg_period: int | None,  # RegulatedRoad tick period in frames, or None
     f: dict,
-    first,
+    i_f,  # frame index within the policy step (f32 scalar)
 ) -> dict:
     """One general frame on (V, blk) f32 fields; mirrors
-    envs/base.py::_frame (unregulated, kinematic-only)."""
+    envs/base.py::_frame (kinematic-only; regulated right-of-way when
+    ``reg_period`` is set — see the enforcement block before `out`)."""
+    first = (i_f < 0.5).astype(F32)
     V = f["px"].shape[0]
     L = gg.L
     blk = f["px"].shape[1]
@@ -1113,6 +1149,196 @@ def _frame_body_general(
         steering=new_steer, accel=new_accel,
         route_ptr=route_ptr, speed_index=speed_index,
     )
+
+    if reg_period is not None:
+        # --- RegulatedRoad right-of-way (road/regulation.py:36-112) -------- #
+        # In-kernel port of road/regulation.py::enforce_road_rules +
+        # predict_route_positions.  The XLA path schedules the pass onto
+        # tick slots (envs/base.py::_simulate_regulated_frames) because
+        # each evaluation is expensive there; in-kernel the pass is cheap
+        # VPU math, so it runs EVERY frame masked by each env's own tick
+        # phase — per-env phases differ (episode ages differ under
+        # autoreset), which is exactly what made chunked scheduling
+        # impossible for a batched kernel.  Reads only pre-integration
+        # state; writes target_speed / is_yielding / yield_timer, which
+        # nothing later in the frame reads — so evaluating it here (after
+        # the collision block) is equivalent to the XLA path's
+        # before-integration hook.
+        from highwayenv_tpu.road.regulation import (
+            CONFLICT_HORIZON,
+            CONFLICT_STEP,
+            REGULATION_FREQUENCY,
+            YIELD_DURATION,
+        )
+
+        tick = (
+            jnp.mod(f["steps0"] + i_f + 1.0, float(reg_period)) < 0.5
+        )  # (V, blk); steps0 is replicated over rows
+        can_yield = (jnp.abs(kind - KIND_IDM) < 0.5) | (
+            jnp.abs(kind - KIND_LINEAR) < 0.5
+        )
+
+        # 1. unfreeze expired yielders (regulation.py:113-125)
+        yld = f["is_yielding"] > 0.5
+        expired = yld & (
+            f["yield_timer"] >= YIELD_DURATION * REGULATION_FREQUENCY - 0.5
+        )
+        limit = _sel_lane(gg.speed_limit, lane)
+        ts_reg = jnp.where(expired, limit, target_speed)
+        yt_reg = jnp.where(
+            yld & ~expired, f["yield_timer"] + 1.0, f["yield_timer"]
+        )
+        yld_reg = yld & ~expired
+
+        # 2. constant-speed route predictions (regulation.py:31-106).
+        # Route walk unrolled over the R segments; positions/headings per
+        # prediction time via the analytic per-lane forms.
+        s0 = _sel_rows(S, lane)
+        has_rt = route_ptr < f["route_len"] - 0.5
+        cur_id_own = _sel_lane(gg.lane_id, lane)
+        valid_r, seg_lane_r, cum_r = [], [], []
+        acc = jnp.zeros_like(lane)
+        for r in range(R):
+            v_r = (
+                has_rt
+                & (float(r) >= route_ptr - 0.5)
+                & (float(r) < f["route_len"] - 0.5)
+            )
+            fallback = jnp.where(
+                cur_id_own < f[f"route_n_{r}"] - 0.5, cur_id_own, 0.0
+            )
+            seg_id = jnp.where(
+                f[f"route_id_{r}"] >= -0.5, f[f"route_id_{r}"], fallback
+            )
+            sl = jnp.clip(f[f"route_base_{r}"] + seg_id, 0.0, float(L - 1))
+            sl = jnp.where(v_r, sl, lane)
+            valid_r.append(v_r)
+            seg_lane_r.append(sl)
+            acc = acc + jnp.where(v_r, _sel_lane(gg.length, sl), 0.0)
+            cum_r.append(acc)
+        n_valid = sum(jnp.where(v, 1.0, 0.0) for v in valid_r)
+        first_seg = jnp.zeros_like(lane)
+        found = jnp.zeros_like(valid_r[0])
+        for r in range(R):
+            first_seg = jnp.where(~found & valid_r[r], float(r), first_seg)
+            found = found | valid_r[r]
+        last_seg = jnp.where(n_valid > 0.5, first_seg + n_valid - 1.0, 0.0)
+
+        times = np.arange(CONFLICT_STEP, CONFLICT_HORIZON, CONFLICT_STEP)
+        px_t, py_t, ch_t, sh_t = [], [], [], []
+        for t in times:
+            target_t = s0 + f["speed"] * float(t)
+            k = first_seg
+            for r in range(R):
+                add = (
+                    (target_t > cum_r[r])
+                    & (float(r) < last_seg - 0.5)
+                    & valid_r[r]
+                )
+                k = k + jnp.where(add, 1.0, 0.0)
+            k = jnp.minimum(k, last_seg)
+            lane_k = seg_lane_r[0]
+            for r in range(1, R):
+                lane_k = jnp.where(k >= r - 0.5, seg_lane_r[r], lane_k)
+            base = jnp.zeros_like(lane)
+            for r in range(R):
+                base = jnp.where(k - 1.0 >= r - 0.5, cum_r[r], base)
+            base = jnp.where(k > first_seg + 0.5, base, 0.0)
+            s_loc = target_t - base
+            pk = _dyn_params(gg, lane_k)
+            pxt, pyt = _position_dyn(pk, s_loc, jnp.zeros_like(s_loc))
+            ht = _heading_dyn(pk, s_loc)
+            px_t.append(pxt)
+            py_t.append(pyt)
+            ch_t.append(jnp.cos(ht))
+            sh_t.append(jnp.sin(ht))
+
+        # 3. pairwise future-overlap probes (regulation.py:127-191):
+        # 9 probe points of the 1.5x-length / 0.9x-width rect, both ways
+        l_i = f["length"][:, None, :]
+        w_i = f["width"][:, None, :]
+        l_j = f["length"][None, :, :]
+        w_j = f["width"][None, :, :]
+        la_i, wa_i = 1.5 * l_i, 0.9 * w_i
+        la_j, wa_j = 1.5 * l_j, 0.9 * w_j
+        probes = (
+            (-0.5, -0.5), (-0.5, 0.5), (0.5, 0.5), (0.5, -0.5), (0.0, 0.0),
+            (-0.5, 0.0), (0.5, 0.0), (0.0, -0.5), (0.0, 0.5),
+        )
+
+        def reg_one_way(ax, ay, la, wa, ca, sa, bx, by, lb, wb, cb, sb):
+            hit_ = None
+            for fx, fy in probes:
+                lx = fx * la
+                ly = fy * wa
+                ppx = ax + ca * lx - sa * ly
+                ppy = ay + sa * lx + ca * ly
+                dxp = ppx - bx
+                dyp = ppy - by
+                rx = cb * dxp - sb * dyp
+                ry = sb * dxp + cb * dyp
+                ins = (
+                    (-lb / 2 <= rx) & (rx <= lb / 2)
+                    & (-wb / 2 <= ry) & (ry <= wb / 2)
+                )
+                hit_ = ins if hit_ is None else hit_ | ins
+            return hit_
+
+        any_hit = None
+        for ti in range(len(times)):
+            pxi, pxj = px_t[ti][:, None, :], px_t[ti][None, :, :]
+            pyi, pyj = py_t[ti][:, None, :], py_t[ti][None, :, :]
+            ci, cj = ch_t[ti][:, None, :], ch_t[ti][None, :, :]
+            si, sj = sh_t[ti][:, None, :], sh_t[ti][None, :, :]
+            dxp = pxj - pxi
+            dyp = pyj - pyi
+            close = dxp * dxp + dyp * dyp <= l_i * l_i
+            hit_t = close & (
+                reg_one_way(pxi, pyi, la_i, wa_i, ci, si,
+                            pxj, pyj, la_j, wa_j, cj, sj)
+                | reg_one_way(pxj, pyj, la_j, wa_j, cj, sj,
+                              pxi, pyi, la_i, wa_i, ci, si)
+            )
+            any_hit = hit_t if any_hit is None else any_hit | hit_t
+
+        upper = row_i < col_i
+        conflict = (
+            upper
+            & is_vehicle[:, None, :] & is_vehicle[None, :, :]
+            & any_hit
+        )
+
+        # 4. who yields: lower priority; tie -> the trailing vehicle
+        # (regulation.py:194-220)
+        prio = _sel_lane(gg.priority, lane)
+        p_i = prio[:, None, :]
+        p_j = prio[None, :, :]
+        cos_h0 = jnp.cos(f["heading"])
+        sin_h0 = jnp.sin(f["heading"])
+        dx0 = f["px"][None, :, :] - f["px"][:, None, :]
+        dy0 = f["py"][None, :, :] - f["py"][:, None, :]
+        front_ij = dx0 * cos_h0[:, None, :] + dy0 * sin_h0[:, None, :]
+        front_ji = -dx0 * cos_h0[None, :, :] - dy0 * sin_h0[None, :, :]
+        tie = jnp.abs(p_i - p_j) < 0.5
+        i_yields = (p_i < p_j - 0.5) | (tie & (front_ij > front_ji))
+        yield_i = conflict & i_yields
+        yield_j = conflict & ~i_yields
+        new_yield = (
+            (jnp.max(jnp.where(yield_i, 1.0, 0.0), axis=1) > 0.5)
+            | (jnp.max(jnp.where(yield_j, 1.0, 0.0), axis=0) > 0.5)
+        ) & can_yield
+        ts_reg = jnp.where(new_yield, 0.0, ts_reg)
+        yt_reg = jnp.where(new_yield, 0.0, yt_reg)
+        yld_reg = yld_reg | new_yield
+
+        # apply only on this env's tick frames
+        out.update(
+            target_speed=jnp.where(tick, ts_reg, target_speed),
+            yield_timer=jnp.where(tick, yt_reg, f["yield_timer"]),
+            is_yielding=jnp.where(
+                tick, jnp.where(yld_reg, 1.0, 0.0), f["is_yielding"]
+            ),
+        )
     return out
 
 
@@ -1130,6 +1356,7 @@ def build_general_frame(
         __import__("os").environ.get("HT_PALLAS_VMEM_MB", 100)
     ),
     frames: int = 1,
+    regulated: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1149,9 +1376,10 @@ def build_general_frame(
             bool(getattr(at, "longitudinal", True)),
             bool(getattr(at, "lateral", True)),
         )
-    mut, const = gen_fields(R)
+    reg_period = int(env._regulation_period) if regulated else None
+    mut, const = gen_fields(R, regulated)
     body = functools.partial(
-        _frame_body_general, gg, p, dt, raw, has_linear, meta, R
+        _frame_body_general, gg, p, dt, raw, has_linear, meta, R, reg_period
     )
     n = len(mut) + len(const)
     n_mut = len(mut)
@@ -1159,14 +1387,14 @@ def build_general_frame(
     def kernel(*refs):
         f = {name: r[:] for name, r in zip(mut + const, refs[:n])}
         if frames == 1:
-            out = body(f, jnp.float32(1.0))
+            out = body(f, jnp.float32(0.0))
         else:
             consts = {name: f[name] for name in const}
 
             def step(i, m):
-                firstf = (i == 0).astype(F32)
                 return {
-                    name: body({**m, **consts}, firstf)[name] for name in mut
+                    name: body({**m, **consts}, i.astype(F32))[name]
+                    for name in mut
                 }
 
             mut0 = {name: f[name] for name in mut}
@@ -1203,13 +1431,17 @@ def build_general_frame(
 
 def pallas_simulate_general(
     env, veh: VehicleState, slot_actions, frames: int,
-    block: int = 128, interpret: bool = False,
+    block: int = 128, interpret: bool = False, steps0=None,
 ) -> VehicleState:
     """Policy-step simulation on the general path: raw-control actions are
     stored in XLA; DiscreteMetaAction egos are applied INSIDE the kernel on
     frame 0 (after follow_road, matching envs/base.py::_frame order — the
     straight kernel can apply them outside because straight networks have no
-    follow_road)."""
+    follow_road).
+
+    ``steps0`` (the (B,) per-env frame counter at step start) switches the
+    kernel to the REGULATED build: the RegulatedRoad right-of-way pass runs
+    inside the kernel, masked to each env's own tick phase."""
     raw = getattr(env.action_type, "stores_raw_controls", False)
     if raw:
         ego_mask = veh.kind == KIND_EGO
@@ -1222,14 +1454,16 @@ def pallas_simulate_general(
             slot_actions, F32
         )
 
+    regulated = steps0 is not None
     R = veh.route_base.shape[-1]
-    key = (id(env), R, block, interpret, frames)
+    key = (id(env), R, block, interpret, frames, regulated)
     if key not in _FRAME_CACHE:
         _FRAME_CACHE[key] = build_general_frame(
-            env, R, block=block, interpret=interpret, frames=frames
+            env, R, block=block, interpret=interpret, frames=frames,
+            regulated=regulated,
         )
-    arrays = _FRAME_CACHE[key](pack_general(veh, actions))
-    return unpack_general(list(arrays), veh)
+    arrays = _FRAME_CACHE[key](pack_general(veh, actions, steps0=steps0))
+    return unpack_general(list(arrays), veh, regulated=regulated)
 
 
 _FRAME_CACHE: dict = {}
