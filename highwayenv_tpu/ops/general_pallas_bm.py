@@ -1455,6 +1455,15 @@ def pallas_simulate_general(
         )
 
     regulated = steps0 is not None
+    if regulated:
+        # pack only the tick PHASE: the raw cumulative counter loses f32
+        # integer exactness past 2^24 frames (~1.1M policy steps of a long
+        # autoreset run) and regulation would silently fire on wrong
+        # frames; the kernel's mod(steps0 + i_f + 1, period) only ever
+        # needs steps0 mod period, which stays exact forever
+        steps0 = jnp.asarray(  # mod BEFORE the f32 cast (int32 is exact)
+            jnp.mod(jnp.asarray(steps0), env._regulation_period), F32
+        )
     R = veh.route_base.shape[-1]
     key = (id(env), R, block, interpret, frames, regulated)
     if key not in _FRAME_CACHE:

@@ -114,13 +114,15 @@ def unpack_bm(arrays: list, veh: VehicleState) -> VehicleState:
 #: than this many ranks in the per-step s-sorted layout are only checked by
 #: the (cheap, conservative-exact) suffix-scan violation test, which falls
 #: back to the dense SAT when any such pair could be within collision reach.
-#: Sizing (round 4): the fallback cond is per 128-env BLOCK — one env with
-#: W+1 vehicles inside the ~10 m reach window flips the whole block to the
-#: dense pass for that frame.  Post-crash pile-ups at random policy pack
-#: far more than 12 vehicles into the window, which is why W=12's exact
-#: mode measured BELOW dense (94k vs 104k) while its banded-only ceiling
-#: ran 165k; larger W trades per-diagonal work for a rarer fallback.
-#: Override with HT_SORT_W for A/B sweeps.
+#: Sizing: the fallback is PER ENV since round 5 — an env whose flag fires
+#: is gathered into a (<=128)-env patch buffer and re-run through the dense
+#: kernel; only >128 simultaneously-firing envs trigger the whole-batch
+#: dense re-run (round 4's behavior, which made one pile-up env cost
+#: sorted + full dense for everyone).  Post-crash pile-ups pack far more
+#: than 12 vehicles into the ~10 m reach window, which is why round 3's
+#: W=12 whole-batch exact mode measured BELOW dense (94k vs 104k) while
+#: its banded-only ceiling ran 165k; larger W trades per-diagonal work for
+#: a rarer fallback.  Override with HT_SORT_W for A/B sweeps.
 SORT_WINDOW = int(__import__("os").environ.get("HT_SORT_W", 12))
 
 
@@ -1009,10 +1011,13 @@ def pallas_simulate_bm_sorted(
     mask-reduce pallas kernels instead of XLA one-hot einsums, the W
     per-diagonal `scf.if`s are gone (all diagonals always compute), and
     the exactness fallback moved OUT of the kernel: the kernel emits a
-    sticky window-violation flag and an XLA-level ``lax.cond`` re-runs
-    the step through the DENSE kernel when it fires — measured 0.0 rate
-    at the headline, but an in-kernel fallback branch cost ~-45% just by
-    existing (mosaic allocates the VMEM union of cond branches)."""
+    sticky per-env window-violation flag and an XLA-level ``lax.cond``
+    re-runs ONLY the firing envs through the dense kernel (gather/patch/
+    scatter, one 128-env buffer; whole-batch re-run only past 128
+    simultaneous violations) — measured 0.0 rate under random policy, and
+    the per-env patch bounds the crash-heavy-policy cost (round 5); an
+    in-kernel fallback branch would cost ~-45% just by existing (mosaic
+    allocates the VMEM union of cond branches)."""
     ego_mask = veh.kind == KIND_EGO
     veh = env.action_type.apply(env.geo, veh, ego_mask, slot_actions)
 
@@ -1037,7 +1042,11 @@ def pallas_simulate_bm_sorted(
         + list(srt[n_mut:len(BM_FIELDS)]) + [srt[-1]]
     )
     out = frame_fn(ins)
-    viol_any = jnp.max(out[n_mut]) > 0.5
+    # per-ENV sticky violation flags: the (V, B) flag field columns are
+    # independent (env b's flag only ever reads env b's state), so a
+    # firing env can be re-run dense in isolation
+    env_viol = jnp.max(out[n_mut], axis=0) > 0.5  # (B,)
+    n_viol = jnp.sum(env_viol.astype(jnp.int32))
     mut = unsort_fn(out[:n_mut], srt[-1])
     # unpack_bm reads only the mutated fields; the const tail (still in
     # sorted layout) is ignored — veh.replace keeps the originals
@@ -1045,10 +1054,36 @@ def pallas_simulate_bm_sorted(
         list(mut) + list(out[n_mut + 1: n_mut + 1 + len(BM_CONST_FIELDS)]),
         veh,
     )
+    # Exactness fallback, de-cliffed (round 5): instead of re-running the
+    # ENTIRE batch dense when any env fires (round 4's whole-batch cliff:
+    # one pile-up cost sorted + full dense every step), gather up to one
+    # 128-env block of firing envs, run ONLY those through the dense
+    # kernel, and scatter the exact results over the banded output.  The
+    # whole-batch re-run survives solely as the >1-block overflow path.
+    B = veh.timer.shape[0]
+    K = min(block, B)
+
+    def _no_viol(_v):
+        return banded_veh
+
+    def _patch(v):
+        idx = jnp.where(env_viol, size=K, fill_value=0)[0]
+        sub = jax.tree_util.tree_map(lambda a: a[idx], v)
+        sub_out = _simulate_bm_core(env, sub, frames, block, interpret)
+        # fill slots alias env 0; scattering its dense result is exact
+        # (dense == banded bitwise for non-violating envs), and duplicate
+        # scatter indices write identical values
+        return jax.tree_util.tree_map(
+            lambda b, s: b.at[idx].set(s), banded_veh, sub_out
+        )
+
+    def _full(v):
+        return _simulate_bm_core(env, v, frames, block, interpret)
+
     return jax.lax.cond(
-        viol_any,
-        lambda v: _simulate_bm_core(env, v, frames, block, interpret),
-        lambda _v: banded_veh,
+        n_viol == 0,
+        _no_viol,
+        lambda v: jax.lax.cond(n_viol <= K, _patch, _full, v),
         veh,
     )
 

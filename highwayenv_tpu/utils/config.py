@@ -26,41 +26,49 @@ from typing import Any, Mapping
 _FOLDED_SUBCONFIG_KEYS = frozenset({"action", "observation"})
 
 
+def _mapping_children(
+    path: str, defaults: Mapping[str, Any], override: Mapping[str, Any]
+) -> list[tuple[str, str, Mapping[str, Any], Any]]:
+    """Nested-mapping keys of ``defaults`` that ``override`` touches, as
+    unvalidated work items ``(child_path, key, default_val, override_val)``
+    in dict order."""
+    return [
+        (f"{path}.{key}", key, default_val, override[key])
+        for key, default_val in defaults.items()
+        if isinstance(default_val, Mapping) and key in override
+    ]
+
+
 def update_config_check(config: dict[str, Any], delta: Mapping[str, Any]) -> None:
     """Validate that every nested mapping in ``delta`` fully redefines the
     corresponding nested mapping in ``config``.  Raises AssertionError with
     a dotted config path on the first violation (reference message shapes).
+
+    Traversal is TRUE pre-order (each node is validated at its own visit and
+    its subtree fully explored before later siblings), so the *first* error
+    raised on a config with several violations matches the reference's
+    depth-first recursion exactly.
     """
-    stack: list[tuple[str, Mapping[str, Any], Mapping[str, Any]]] = [
-        ("config", config, delta)
-    ]
+    # explicit-stack pre-order DFS: popping an item validates that node,
+    # then pushes its children (reversed, so the first child is on top)
+    stack = list(reversed(_mapping_children("config", config, delta)))
     while stack:
-        path, defaults, override = stack.pop()
-        # nested frames pushed in reverse so deeper levels are visited in
-        # sibling dict order; violations at one level all surface before
-        # any deeper level of the same subtree is entered
-        pending: list[tuple[str, Mapping[str, Any], Mapping[str, Any]]] = []
-        for key, default_val in defaults.items():
-            if not isinstance(default_val, Mapping) or key not in override:
-                continue
-            child_path = f"{path}.{key}"
-            child = override[key]
-            if not isinstance(child, Mapping):
-                raise AssertionError(
-                    f"{child_path} must be a mapping, "
-                    f"got {type(child).__name__}"
-                )
-            if key in _FOLDED_SUBCONFIG_KEYS:
-                sub = child.get(f"{key}_config")
-                if isinstance(sub, Mapping):
-                    child = {**child, **sub}
-            missing_keys = default_val.keys() - child.keys()
-            if missing_keys:
-                raise AssertionError(
-                    f"{child_path} invalid: {missing_keys=}"
-                )
-            pending.append((child_path, default_val, child))
-        stack.extend(reversed(pending))
+        child_path, key, default_val, child = stack.pop()
+        if not isinstance(child, Mapping):
+            raise AssertionError(
+                f"{child_path} must be a mapping, "
+                f"got {type(child).__name__}"
+            )
+        if key in _FOLDED_SUBCONFIG_KEYS:
+            sub = child.get(f"{key}_config")
+            if isinstance(sub, Mapping):
+                child = {**child, **sub}
+        missing_keys = default_val.keys() - child.keys()
+        if missing_keys:
+            raise AssertionError(
+                f"{child_path} invalid: {missing_keys=}"
+            )
+        stack.extend(reversed(_mapping_children(child_path, default_val, child)))
 
 
 def update_config(config: dict[str, Any], delta: Mapping[str, Any]) -> dict[str, Any]:

@@ -4,12 +4,23 @@ Same contracts as highway_env/utils.py:244-352 (confidence ellipsoid /
 polytope for linear models ``y = theta^T phi``, observation validity,
 leave-last-out dataset consistency) and the ray-to-circle helpers
 (utils.py:373-424, unused in the reference itself but part of its public
-surface).  The implementation is this repo's own: symmetric-eigendecomposition
-(``eigh``) + one batched vertex matmul instead of the reference's generic
-``eig`` and per-vertex Python loop — the polytope VERTEX SET is identical
-(it is invariant to eigenpair order/sign), every downstream consumer
-(`ops/uncertainty.py` interval propagation) reduces over vertices, and the
-whole 2^d vertex fan is produced in one einsum.
+surface).  The implementation is this repo's own except where the output
+contract forces the reference's construction (see below); the whole 2^d
+vertex fan is produced in one batched matmul instead of the reference's
+per-vertex Python loop, and every downstream consumer
+(`ops/uncertainty.py` interval propagation) reduces over vertices.
+
+Vertex-set equivalence with the reference: the reference's
+``radius_matrix = sqrt(beta) * inv(pp) @ diag(sqrt(1/values))``
+(utils.py:290-292) is NOT the symmetric ellipsoid-axis fan — the resulting
+point cloud changes under eigenpair reordering or sign flips (the diag
+weights get reassigned to different rows of ``inv(pp)``), so it depends on
+``np.linalg.eig``'s output convention and cannot be reproduced from
+``eigh``.  Producing the *identical* vertex set therefore forces the same
+``eig``-based construction (3 lines); everything around it (slogdet
+radius, batched sign-hypercube matmul instead of the per-vertex Python
+loop, non-destructive dataset check) is this repo's own.  Pinned against
+the live reference by ``tests/test_estimation_reference.py``.
 """
 
 from __future__ import annotations
@@ -62,13 +73,17 @@ def confidence_polytope(data: dict, parameter_box):
     theta, gramian, beta = confidence_ellipsoid(
         data, param_bound=float(np.max(np.abs(box)))
     )
-    w, q = np.linalg.eigh(gramian)  # symmetric: eigh, ascending eigenvalues
-    semi_axes = q * np.sqrt(beta / w)  # (d, d): column i = sqrt(beta/w_i) q_i
+    # the reference's radius-matrix construction verbatim (utils.py:290-292)
+    # — forced: the vertex set is convention-dependent (see module docstring)
+    w, pp = np.linalg.eig(gramian)
+    radius = np.sqrt(beta) * np.linalg.inv(pp) @ np.diag(np.sqrt(1.0 / w))
     d = theta.shape[0]
     # sign hypercube (2^d, d): row k = binary expansion of k mapped to +/-1
+    # (same enumeration order as itertools.product([-1, 1], repeat=d));
+    # all 2^d vertices radius @ h_k in ONE matmul vs the reference's loop
     bits = (np.arange(2**d)[:, None] >> np.arange(d - 1, -1, -1)) & 1
     signs = 2.0 * bits - 1.0
-    d_theta = signs @ semi_axes.T  # (2^d, d) vertex offsets
+    d_theta = signs @ radius.T  # (2^d, d): row k = radius @ h_k
 
     theta = np.clip(theta, box[0], box[1])
     d_theta = np.clip(d_theta, box[0] - theta, box[1] - theta)

@@ -92,8 +92,10 @@ def test_pallas_core_matches_fast_path():
 
 def test_sorted_banded_collisions_match_dense():
     """The s-sorted banded collision kernel is bitwise-equal to the dense
-    pair SAT — including on a 20-vehicle pile-up that exercises the
-    far-rank violation check and its dense fallback branch."""
+    pair SAT — including on 20-vehicle pile-ups that exercise the far-rank
+    violation check and BOTH fallback paths: the per-env gather/patch
+    (round 5: one firing env among 16, patch buffer K=block=8 < B) and
+    the whole-batch overflow re-run (all 16 envs firing > K)."""
     from highwayenv_tpu.ops.straight_pallas_bm import (
         pallas_simulate_bm,
         pallas_simulate_bm_sorted,
@@ -101,19 +103,19 @@ def test_sorted_banded_collisions_match_dense():
 
     env = ht.make("highway-v0")
     frames = env.frames_per_step
-    B = 16
+    B, block = 16, 8  # K = block < B so the patch path is reachable
     keys = jax.random.split(jax.random.PRNGKey(3), B)
     _, states = jax.vmap(env.reset)(keys)
     veh = states.vehicles
 
     dense = jax.jit(
         lambda v, sa: pallas_simulate_bm(
-            env, v, sa, frames, block=B, interpret=True
+            env, v, sa, frames, block=block, interpret=True
         )
     )
     srt = jax.jit(
         lambda v, sa: pallas_simulate_bm_sorted(
-            env, v, sa, frames, block=B, interpret=True
+            env, v, sa, frames, block=block, interpret=True
         )
     )
 
@@ -125,6 +127,9 @@ def test_sorted_banded_collisions_match_dense():
     pos2 = np.asarray(veh.pos).copy()
     pos2[0, :20, 0] = 100.0 + np.linspace(0, 6, 20)
     veh_pileup = veh.replace(pos=jnp.asarray(pos2))
+    pos3 = np.asarray(veh.pos).copy()
+    pos3[:, :20, 0] = 100.0 + np.linspace(0, 6, 20)  # every env fires
+    veh_pileup_all = veh.replace(pos=jnp.asarray(pos3))
 
     acts = jax.random.randint(jax.random.PRNGKey(4), (B,), 0, 5)
     sa = jax.vmap(env._action_to_slots)(acts)
@@ -137,6 +142,7 @@ def test_sorted_banded_collisions_match_dense():
         ("normal", veh),
         ("compressed", veh_compressed),
         ("pileup", veh_pileup),
+        ("pileup_all", veh_pileup_all),
     ]:
         d, s = dense(v, sa), srt(v, sa)
         for fld in fields:
