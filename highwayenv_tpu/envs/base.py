@@ -284,6 +284,13 @@ class BaseEnv:
     #: (road/regulation.py:36-40) inside the frame loop
     regulated = False
 
+    #: lane count of the ego's deterministic reset edge, or None.  Feeds
+    #: KinematicsObservation's features_range default so normalization
+    #: ranges are frozen at the reset edge like the reference's
+    #: once-per-reset cache (observation.py:214-226, PARITY #5); envs set
+    #: it in _build_scene.
+    obs_edge_lanes = None
+
     def _frame(
         self,
         veh: VehicleState,
@@ -780,17 +787,32 @@ class BaseEnv:
     def to_finite_mdp(self, state: EnvState, horizon: float = 10.0):
         """TTC-grid finite-MDP export (envs/common/finite_mdp.py:17-103).
 
-        The grid's lane axis is statically sized to the widest edge (the
-        reference sizes it to the ego's current road, which is shape-dynamic).
+        The grid's lane axis is sized like the reference's — to the ego's
+        CURRENT edge (finite_mdp.py:120 ``all_side_lanes``) — whenever the
+        state is concrete (the normal planner-export call, like the
+        reference's host-side use).  Under jit the lane count must be
+        static, so a traced state falls back to the widest edge
+        (PARITY #13; identical on single-width networks, which covers
+        every registered env that exports a finite MDP on its hot path).
         """
         from highwayenv_tpu.ops.finite_mdp import finite_mdp
+        from highwayenv_tpu.road import lane as lane_ops
 
         if not hasattr(self, "connected3"):
             self.connected3 = self.net.connectivity_matrix(depth=3)
-        if not hasattr(self, "ttc_grid_lanes"):
-            self.ttc_grid_lanes = self.max_edge_lanes
+        try:
+            ego_lane = int(state.vehicles.lane[..., self.ego_slots[0]])
+            grid_lanes = int(
+                self.geo.edge_n[
+                    int(lane_ops._gather(self.geo, jnp.int32(ego_lane)))
+                ]
+            )
+        except (TypeError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            grid_lanes = getattr(self, "ttc_grid_lanes", self.max_edge_lanes)
         return finite_mdp(
-            self, state, 1.0 / self.config["policy_frequency"], horizon
+            self, state, 1.0 / self.config["policy_frequency"], horizon,
+            grid_lanes=grid_lanes,
         )
 
     # ------------------------------------------------------------------ #

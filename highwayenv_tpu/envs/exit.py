@@ -101,6 +101,7 @@ class ExitEnv(HighwayEnv):
         self.net = net
         self.geo = net.build()
         self.max_edge_lanes = n_lanes + 1
+        self.obs_edge_lanes = n_lanes  # ego spawns on ("0","1") (PARITY #5)
         self.num_slots = cfg["controlled_vehicles"] + cfg["vehicles_count"]
         self._ego_slots = [0]
         self.route_slots = 3

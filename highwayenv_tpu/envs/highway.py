@@ -64,6 +64,7 @@ class HighwayEnv(BaseEnv):
         )
         self.geo = self.net.build()
         self.max_edge_lanes = cfg["lanes_count"]
+        self.obs_edge_lanes = cfg["lanes_count"]  # ego reset edge (PARITY #5)
         n_ctrl = cfg["controlled_vehicles"]
         self.others_per_controlled = near_split(cfg["vehicles_count"], n_ctrl)
         self.num_slots = n_ctrl + cfg["vehicles_count"]

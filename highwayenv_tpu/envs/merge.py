@@ -100,6 +100,7 @@ class MergeEnv(BaseEnv):
         self.net = net
         self.geo = net.build()
         self.max_edge_lanes = 3
+        self.obs_edge_lanes = 2  # ego spawns on ("a","b"), 2 lanes (PARITY #5)
         self._obstacle_pos = np.asarray(lbc.position(ends[2], 0), np.float32)
         self._merge_lane = net.global_lane_index(("b", "c", 2))
         self._ego_spawn = net.get_lane(("a", "b", 1))

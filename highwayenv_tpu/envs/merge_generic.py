@@ -100,6 +100,7 @@ class MergeGenericEnv(MergeEnv):
         self.net = net
         self.geo = net.build()
         self.max_edge_lanes = lanes + 1
+        self.obs_edge_lanes = lanes  # ego spawns on ("a","b") (PARITY #5)
         self._obstacle_pos = np.asarray(lbc.position(par, 0), np.float32)
         self._merge_lane = net.global_lane_index(("b", "c", lanes))
         # slots: ego + sampled NPCs + merging vehicle + obstacle

@@ -18,11 +18,15 @@ from highwayenv_tpu.observations.ttc import TimeToCollisionObservation
 def observation_factory(env, config: dict):
     kwargs = {k: v for k, v in config.items() if k != "type"}
     if config["type"] == "Kinematics":
-        return KinematicsObservation(**kwargs)
+        return KinematicsObservation(
+            reset_edge_lanes=getattr(env, "obs_edge_lanes", None), **kwargs
+        )
     if config["type"] == "TimeToCollision":
         return TimeToCollisionObservation(env, **kwargs)
     if config["type"] == "ExitObservation":
-        return ExitObservation(**kwargs)
+        return ExitObservation(
+            reset_edge_lanes=getattr(env, "obs_edge_lanes", None), **kwargs
+        )
     if config["type"] == "KinematicsGoal":
         return KinematicsGoalObservation(env, **kwargs)
     if config["type"] == "OccupancyGrid":

@@ -37,6 +37,7 @@ class KinematicsObservation:
         see_behind: bool = False,
         observe_intentions: bool = False,
         include_obstacles: bool = True,
+        reset_edge_lanes: int | None = None,
         **kwargs,
     ):
         self.features = tuple(features) if features else DEFAULT_FEATURES
@@ -49,6 +50,16 @@ class KinematicsObservation:
         self.see_behind = see_behind
         self.observe_intentions = observe_intentions
         self.include_obstacles = include_obstacles
+        #: lane count of the ego's (deterministic) reset edge.  The
+        #: reference computes features_range ONCE per reset from the ego's
+        #: edge at first observe (observation.py:214-226; the observation
+        #: object is recreated by define_spaces on every reset) and keeps
+        #: it frozen for the episode — so on merge (2-lane spawn edge,
+        #: 3-lane merge section) and exit (6 -> 7) the ranges must NOT
+        #: track the ego's current edge.  Envs whose ego spawn edge is
+        #: deterministic pass its lane count here (env.obs_edge_lanes);
+        #: None falls back to the per-step recompute.
+        self.reset_edge_lanes = reset_edge_lanes
 
     @property
     def shape(self):
@@ -225,7 +236,11 @@ class KinematicsObservation:
     def _normalize(self, geo, state, ego, obs):
         """observation.py:207-232."""
         if self.features_range is None:
-            n_lanes = geo.edge_n[lane_ops._gather(geo, state.lane[..., ego])]
+            if self.reset_edge_lanes is not None:
+                # reference semantics: ranges frozen at reset (see __init__)
+                n_lanes = jnp.float32(self.reset_edge_lanes)
+            else:
+                n_lanes = geo.edge_n[lane_ops._gather(geo, state.lane[..., ego])]
             side = DEFAULT_WIDTH * n_lanes
             ranges = {
                 "x": (-5.0 * MAX_SPEED, 5.0 * MAX_SPEED),

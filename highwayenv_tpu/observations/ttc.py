@@ -121,7 +121,11 @@ class TimeToCollisionObservation:
         env = self.env
         ts = env.action_type.target_speeds
         S = len(ts)
-        Lg = env.ttc_grid_lanes
+        # jitted hot path: lane axis must be static — envs whose ego edge
+        # width is provably constant pin it (two_way/u_turn); otherwise
+        # the widest edge (PARITY #13; to_finite_mdp's host export sizes
+        # per the ego's live edge like the reference)
+        Lg = getattr(env, "ttc_grid_lanes", env.max_edge_lanes)
         grid = compute_ttc_grid(
             geo,
             state,

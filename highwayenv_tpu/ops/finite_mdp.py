@@ -57,9 +57,14 @@ def transition_tensor(shape, n_actions: int = 5) -> np.ndarray:
 
 
 def finite_mdp(
-    env, state, time_quantization: float = 1.0, horizon: float = 10.0
+    env, state, time_quantization: float = 1.0, horizon: float = 10.0,
+    grid_lanes: int | None = None,
 ) -> FiniteMDP:
-    """finite_mdp.py:17-103, for controlled slot 0.  Jittable."""
+    """finite_mdp.py:17-103, for controlled slot 0.  Jittable.
+
+    ``grid_lanes`` sizes the grid's lane axis (the caller passes the ego's
+    current-edge lane count for reference-exact sizing, finite_mdp.py:120);
+    None falls back to ``env.ttc_grid_lanes`` (widest edge)."""
     cfg = env.config
     ego = env.ego_slots[0]
     ts = env.action_type.target_speeds
@@ -69,7 +74,8 @@ def finite_mdp(
         ego,
         ts,
         env.connected3,
-        env.ttc_grid_lanes,
+        getattr(env, "ttc_grid_lanes", env.max_edge_lanes)
+        if grid_lanes is None else grid_lanes,
         time_quantization,
         horizon,
     )

@@ -84,3 +84,41 @@ def test_ttc_grid_matches_reference_live_env():
         ),
         g_ref.shape,
     )
+
+
+def test_ttc_grid_lane_axis_sized_to_ego_edge_on_multi_edge_network():
+    """PARITY #13: on a multi-width network (merge: 2-lane spawn edge,
+    3-lane merge section, 1-lane ramp) the host finite-MDP export sizes
+    the lane axis to the ego's CURRENT edge like the reference
+    (finite_mdp.py:120), and the grid content matches the live reference."""
+    from highway_env.envs.common.finite_mdp import (
+        compute_ttc_grid as ref_grid,
+    )
+
+    ref = gym.make("merge-v0")
+    ref.reset(seed=3)
+    ours = ht.make("merge-v0")
+    veh = ref_to_vehicle_state(ref, ours)
+    from highwayenv_tpu.envs.base import EnvState
+    import jax.numpy as jnp
+
+    state = EnvState(
+        vehicles=veh,
+        time=jnp.zeros(()),
+        steps=jnp.zeros((), jnp.int32),
+        key=jax.random.PRNGKey(0),
+    )
+    g_ref = ref_grid(ref.unwrapped, time_quantization=1.0, horizon=10.0)
+    assert g_ref.shape[1] == 2  # ego edge ("a","b") has 2 lanes, widest is 3
+    mdp = ours.to_finite_mdp(state)
+    assert mdp.original_shape == g_ref.shape
+    # content parity on the reference-sized grid
+    from highwayenv_tpu.observations.ttc import compute_ttc_grid
+
+    g = np.asarray(
+        compute_ttc_grid(
+            ours.geo, veh, 0, ours.action_type.target_speeds,
+            ours.connected3, g_ref.shape[1], 1.0, 10.0,
+        )
+    )
+    np.testing.assert_allclose(g, g_ref, atol=1e-5)

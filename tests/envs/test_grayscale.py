@@ -36,7 +36,8 @@ def test_grayscale_stack_semantics():
     # ego (green) and traffic (yellow) gray levels present
     w = np.array([0.2989, 0.5870, 0.1140])
     ego_gray = int(np.dot((50, 200, 0), w))
-    npc_gray = int(np.dot((200, 200, 0), w))
+    # IDM NPCs are BLUE in the reference palette (vehicle/graphics.py:243)
+    npc_gray = int(np.dot((100, 200, 255), w))
     vals = set(np.unique(frame))
     assert ego_gray in vals and npc_gray in vals
 
