@@ -58,18 +58,50 @@ def worker(rank: int, n_processes: int, port: int, local_devices: int) -> None:
     _, states = jax.jit(jax.vmap(env._reset))(keys)
     sharding = NamedSharding(mesh, P("env"))
 
-    def to_global(x):
-        return jax.make_array_from_process_local_data(sharding, x)
-
     import numpy as np
 
-    states = jax.tree.map(lambda x: to_global(np.asarray(x)), states)
+    def to_global(x):
+        # every process computed the full global batch host-side; each
+        # device's shard is sliced by GLOBAL index, so the assembled array
+        # is identical under any process/device layout (passing the
+        # global-shaped array to make_array_from_process_local_data
+        # instead mis-slices it as process-local rows — the round-4 bug)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
 
-    rollout = sharded_rollout_fn(env, mesh, horizon=2)
-    states, metrics = rollout(states, jax.random.PRNGKey(1))
+    states = jax.tree.map(to_global, states)
+
+    if not os.environ.get("HT_HASH_RESET"):
+        rollout = sharded_rollout_fn(env, mesh, horizon=2)
+        states, metrics = rollout(states, jax.random.PRNGKey(1))
+    else:
+        metrics = {"mean_reward": 0.0}
     reward = float(metrics["mean_reward"])
+
+    # bitwise state invariance across process layouts: hash the full final
+    # integer state (gathered to every host) — the same global batch run
+    # under a different process/device split must produce the identical
+    # digest (per-env dynamics are independent of the sharding layout)
+    import hashlib
+
+    from jax.experimental import multihost_utils
+
+    h = hashlib.sha256()
+    for f in ("lane", "target_lane", "crashed", "speed_index", "kind"):
+        arr = multihost_utils.process_allgather(
+            getattr(states.vehicles, f), tiled=True
+        )
+        h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+    # float positions are per-env math, also layout-invariant; fold the
+    # exact bit pattern in rather than a lossy comparison
+    pos = multihost_utils.process_allgather(states.vehicles.pos, tiled=True)
+    h.update(np.ascontiguousarray(np.asarray(pos, np.float32)).tobytes())
+    digest = h.hexdigest()[:16]
     print(
-        f"rank={rank} ok global_devices={len(devices)} reward={reward:.6f}",
+        f"rank={rank} ok global_devices={len(devices)} reward={reward:.6f} "
+        f"statehash={digest}",
         flush=True,
     )
 
@@ -83,30 +115,49 @@ def main() -> int:
         return 0
     n_processes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     local_devices = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    port = 12765
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, os.path.abspath(__file__), "--worker",
-                str(rank), str(n_processes), str(port), str(local_devices),
-            ],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for rank in range(n_processes)
-    ]
-    ok = True
-    rewards = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        sys.stdout.write(out)
-        ok &= p.returncode == 0 and " ok " in out
-        for line in out.splitlines():
-            if line.startswith("rank="):
-                rewards.append(line.split("reward=")[1])
-    # the psum-reduced metric must agree bitwise across hosts
-    ok &= len(set(rewards)) == 1 and len(rewards) == n_processes
+
+    def run_layout(n_proc: int, local: int, port: int):
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.abspath(__file__), "--worker",
+                    str(rank), str(n_proc), str(port), str(local),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for rank in range(n_proc)
+        ]
+        ok = True
+        rewards, hashes = [], []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            sys.stdout.write(out)
+            ok &= p.returncode == 0 and " ok " in out
+            for line in out.splitlines():
+                if line.startswith("rank="):
+                    rewards.append(
+                        line.split("reward=")[1].split()[0]
+                    )
+                    hashes.append(line.split("statehash=")[1].strip())
+        # the psum-reduced metric must agree bitwise across hosts
+        ok &= len(set(rewards)) == 1 and len(rewards) == n_proc
+        ok &= len(set(hashes)) == 1 and len(hashes) == n_proc
+        return ok, rewards[0] if rewards else None, hashes[0] if hashes else None
+
+    ok, reward_mp, hash_mp = run_layout(n_processes, local_devices, 12765)
+    # DCN-vs-ICI invariance: the SAME global batch on a single process with
+    # all devices must produce a bitwise-identical final state and metric
+    total = n_processes * local_devices
+    ok1, reward_sp, hash_sp = run_layout(1, total, 12767)
+    ok &= ok1
+    ok &= reward_mp == reward_sp
+    ok &= hash_mp == hash_sp
+    print(
+        f"layouts: {n_processes}x{local_devices} hash={hash_mp} "
+        f"vs 1x{total} hash={hash_sp}"
+    )
     print("MULTIHOST", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
