@@ -159,9 +159,9 @@ class ExitEnv(HighwayEnv):
         lane = lane_ops.closest_lane(self.geo, pos, heading)
 
         veh = empty_state(V, route_slots=self.route_slots)
-        ts = self.action_type.target_speeds
-        ego_index = controller.speed_to_index(speed, ts)
-        ego_ts = jnp.asarray(np.asarray(ts, np.float32))[ego_index]
+        # meta-action egos index target_speeds; raw-control egos
+        # keep spawn speed (plain Vehicle, action.py:129-135)
+        ego_index, ego_ts = controller.ego_speed_init(self.action_type, speed)
 
         rb, rn, rid, rlen = self._npc_route
         route_base = jnp.broadcast_to(jnp.asarray(rb), (V, self.route_slots))

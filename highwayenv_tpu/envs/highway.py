@@ -114,9 +114,9 @@ class HighwayEnv(BaseEnv):
         heading = lane_ops.heading_at(self.geo, lane, x0)
 
         veh = empty_state(V)
-        ts = self.action_type.target_speeds
-        ego_index = controller.speed_to_index(speed, ts)
-        ego_target_speed = jnp.asarray(np.asarray(ts, np.float32))[ego_index]
+        # meta-action egos index target_speeds; raw-control egos
+        # keep spawn speed (plain Vehicle, action.py:129-135)
+        ego_index, ego_target_speed = controller.ego_speed_init(self.action_type, speed)
 
         veh = veh.replace(
             pos=pos.astype(jnp.float32),

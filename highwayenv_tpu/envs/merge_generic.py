@@ -186,9 +186,9 @@ class MergeGenericEnv(MergeEnv):
         kind = kind.at[mslot + 1].set(KIND_OBSTACLE)
 
         lane = lane_ops.closest_lane(self.geo, pos, heading)
-        ts = self.action_type.target_speeds
-        ego_index = controller.speed_to_index(speed, ts)
-        ego_ts = jnp.asarray(np.asarray(ts, np.float32))[ego_index]
+        # meta-action egos index target_speeds; raw-control egos
+        # keep spawn speed (plain Vehicle, action.py:129-135)
+        ego_index, ego_ts = controller.ego_speed_init(self.action_type, speed)
         is_ego = kind == KIND_EGO
         target_speed = jnp.where(is_ego, ego_ts, speed)
         target_speed = target_speed.at[mslot].set(30.0)

@@ -300,9 +300,9 @@ class RoundaboutGenericEnv(RoundaboutEnv):
 
         k_delta = jax.random.fold_in(key, 999)
         lane = lane_ops.closest_lane(self.geo, pos, heading)
-        ts = self.action_type.target_speeds
-        ego_index = controller.speed_to_index(speed, ts)
-        ego_ts = jnp.asarray(np.asarray(ts, np.float32))[ego_index]
+        # meta-action egos index target_speeds; raw-control egos
+        # keep spawn speed (plain Vehicle, action.py:129-135)
+        ego_index, ego_ts = controller.ego_speed_init(self.action_type, speed)
         is_ego = kind == KIND_EGO
         delta = jnp.where(
             is_ego, 4.0, jax.random.uniform(k_delta, (V,), minval=3.5, maxval=4.5)

@@ -126,9 +126,9 @@ class TwoWayEnv(BaseEnv):
         loc = lane_ops.closest_lane(self.geo, pos, heading)
         lane = jnp.where(is_ego, loc, lane)
         target_lane = lane.at[4:6].set(lane_ba0)
-        ts = self.action_type.target_speeds
-        ego_index = controller.speed_to_index(speed, ts)
-        ego_ts = jnp.asarray(np.asarray(ts, np.float32))[ego_index]
+        # meta-action egos index target_speeds; raw-control egos
+        # keep spawn speed (plain Vehicle, action.py:129-135)
+        ego_index, ego_ts = controller.ego_speed_init(self.action_type, speed)
 
         return veh.replace(
             pos=pos,

@@ -163,9 +163,9 @@ class UTurnEnv(BaseEnv):
             is_ego, 0.0, lane_ops.heading_at(self.geo, lane, s)
         )
 
-        ts = self.action_type.target_speeds
-        ego_index = controller.speed_to_index(speed, ts)
-        ego_ts = jnp.asarray(np.asarray(ts, np.float32))[ego_index]
+        # meta-action egos index target_speeds; raw-control egos
+        # keep spawn speed (plain Vehicle, action.py:129-135)
+        ego_index, ego_ts = controller.ego_speed_init(self.action_type, speed)
         # only vehicle 1 calls randomize_behavior (u_turn_env.py:218)
         delta = jnp.full((V,), 4.0).at[1].set(
             jax.random.uniform(k_delta, (), minval=3.5, maxval=4.5)

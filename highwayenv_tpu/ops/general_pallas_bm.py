@@ -480,7 +480,12 @@ def _frame_body_general(
     R: int,
     reg_period: int | None,  # RegulatedRoad tick period in frames, or None
     f: dict,
-    i_f,  # frame index within the policy step (f32 scalar)
+    i_f,  # frame index within the policy step (f32 scalar or (blk,) vector)
+    enforce="mod",  # regulated-block gate: "mod" = compute every call and
+    #   mask writes by each env's own mod-derived tick phase (the round-4
+    #   every-frame build); None = statically SKIP the block (a non-tick
+    #   slot of the round-5 static schedule); an array = compute and use
+    #   it as the per-env tick mask (a static tick slot)
 ) -> dict:
     """One general frame on (V, blk) f32 fields; mirrors
     envs/base.py::_frame (kinematic-only; regulated right-of-way when
@@ -1150,16 +1155,17 @@ def _frame_body_general(
         route_ptr=route_ptr, speed_index=speed_index,
     )
 
-    if reg_period is not None:
+    if reg_period is not None and enforce is not None:
         # --- RegulatedRoad right-of-way (road/regulation.py:36-112) -------- #
         # In-kernel port of road/regulation.py::enforce_road_rules +
-        # predict_route_positions.  The XLA path schedules the pass onto
-        # tick slots (envs/base.py::_simulate_regulated_frames) because
-        # each evaluation is expensive there; in-kernel the pass is cheap
-        # VPU math, so it runs EVERY frame masked by each env's own tick
-        # phase — per-env phases differ (episode ages differ under
-        # autoreset), which is exactly what made chunked scheduling
-        # impossible for a batched kernel.  Reads only pre-integration
+        # predict_route_positions.  Two gating modes (see ``enforce``):
+        # the round-4 every-frame build computes this block in all 15
+        # frames and masks writes by each env's own mod-derived tick
+        # phase (a measured 2.4x end-to-end loss — 15 evaluations where
+        # the XLA scheduler amortizes ~2.1); the round-5 STATIC-SLOT
+        # schedule (build_general_frame) computes it at only
+        # ceil(frames/period) static tick slots, passing the slot's
+        # activity mask as ``enforce``.  Reads only pre-integration
         # state; writes target_speed / is_yielding / yield_timer, which
         # nothing later in the frame reads — so evaluating it here (after
         # the collision block) is equivalent to the XLA path's
@@ -1171,9 +1177,13 @@ def _frame_body_general(
             YIELD_DURATION,
         )
 
-        tick = (
-            jnp.mod(f["steps0"] + i_f + 1.0, float(reg_period)) < 0.5
-        )  # (V, blk); steps0 is replicated over rows
+        if isinstance(enforce, str):  # "mod": derive each env's tick phase
+            tick = (
+                jnp.mod(f["steps0"] + i_f + 1.0, float(reg_period)) < 0.5
+            )  # (V, blk); steps0 is replicated over rows
+        else:
+            tick = jnp.zeros_like(f["px"]) + enforce  # broadcast (blk,)
+            tick = tick > 0.5
         can_yield = (jnp.abs(kind - KIND_IDM) < 0.5) | (
             jnp.abs(kind - KIND_LINEAR) < 0.5
         )
@@ -1384,11 +1394,13 @@ def build_general_frame(
     n = len(mut) + len(const)
     n_mut = len(mut)
 
+    every_frame = bool(__import__("os").environ.get("HT_REG_EVERY_FRAME"))
+
     def kernel(*refs):
         f = {name: r[:] for name, r in zip(mut + const, refs[:n])}
         if frames == 1:
             out = body(f, jnp.float32(0.0))
-        else:
+        elif reg_period is None or every_frame:
             consts = {name: f[name] for name in const}
 
             def step(i, m):
@@ -1399,6 +1411,58 @@ def build_general_frame(
 
             mut0 = {name: f[name] for name in mut}
             out = jax.lax.fori_loop(0, frames, step, mut0)
+        else:
+            # STATIC-SLOT schedule (round 5): the regulated block is
+            # computed at only ceil(frames/period) static tick slots
+            # instead of every frame.  Mixed per-env phases are handled by
+            # slot-activity masking: env with first-tick offset
+            # i0 = period-1 - steps0%period executes prologue slots
+            # j < i0, then tick/chunk slots while its frame index
+            # i0 + e*period + j stays < frames — exactly `frames` active
+            # slots per env, identical per-frame semantics, ~1.4x slot
+            # overhead in exchange for a (frames/ticks)x cut of the
+            # expensive conflict pass.  HT_REG_EVERY_FRAME=1 restores the
+            # round-4 every-frame build for A/B.
+            period = reg_period
+            consts = {name: f[name] for name in const}
+            phase = f["steps0"][0]  # (blk,) — packed as steps0 % period
+            i0 = float(period - 1) - phase  # first tick offset per env
+
+            def masked(m, i_vec, act, enf):
+                o = body({**m, **consts}, i_vec, enforce=enf)
+                return {
+                    name: jnp.where(act, o[name], m[name]) for name in mut
+                }
+
+            m = {name: f[name] for name in mut}
+            if period > 1:
+
+                def pro(j, m):
+                    jf = j.astype(F32)
+                    return masked(
+                        m, jnp.zeros_like(i0) + jf, jf < i0, None
+                    )
+
+                m = jax.lax.fori_loop(0, period - 1, pro, m)
+            # one fori over tick periods, each = [tick slot + masked
+            # chunk fori]: the program contains the enforcement-bearing
+            # body exactly ONCE (inlining it per tick tripled its VMEM
+            # footprint and measured 21.9 ms vs this layout's target;
+            # the price is fully-masked trailing chunk slots)
+            max_ticks = -(-frames // period)
+
+            def one_period(e, m):
+                t_e = i0 + e.astype(F32) * float(period)
+                act = t_e < float(frames)
+                m = masked(m, t_e, act, act)
+
+                def chunk(j, m):
+                    fidx = t_e + j.astype(F32)
+                    return masked(m, fidx, fidx < float(frames), None)
+
+                return jax.lax.fori_loop(1, period, chunk, m)
+
+            out = jax.lax.fori_loop(0, max_ticks, one_period, m)
         for name, r in zip(mut, refs[n:]):
             r[:] = out[name]
 

@@ -259,6 +259,24 @@ def speed_to_index(speed: jnp.ndarray, target_speeds: np.ndarray) -> jnp.ndarray
     return jnp.clip(jnp.round(x * (len(ts) - 1)), 0, len(ts) - 1).astype(jnp.int32)
 
 
+def ego_speed_init(action_type, speed):
+    """Ego target-speed initialisation by action family: meta-action egos
+    are MDPVehicles and snap to the nearest ``target_speeds`` index
+    (vehicle/controller.py:276-285); raw-control egos (Continuous/Discrete
+    actions) are plain/Bicycle vehicles that keep their spawn speed and
+    carry no speed index (action.py:129-135 picks the vehicle class).
+
+    Returns ``(speed_index_i32, target_speed)`` with ``speed``'s shape.
+    """
+    import numpy as _np
+
+    ts = getattr(action_type, "target_speeds", None)
+    if ts is None:
+        return jnp.zeros(jnp.shape(speed), jnp.int32), speed
+    idx = speed_to_index(speed, ts)
+    return idx, jnp.asarray(_np.asarray(ts, _np.float32))[idx]
+
+
 def apply_meta_action(
     geo: LaneGeometry,
     state: VehicleState,

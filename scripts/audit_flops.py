@@ -103,6 +103,27 @@ def main():
     out["pallas_step_mflops"] = round(flb / B * frames / 1e6, 2)
     out["pallas_transcendentals_per_env_frame"] = round(trb / B, 1)
 
+    # ---- SORTED (banded) body: the census the DEFAULT kernel executes --- #
+    # The sorted kernel replaces the dense (V, V, blk) collision SAT with W
+    # reach-gated rank diagonals; this census (not the dense one) is what
+    # the headline actually runs per frame since round 4.  Excludes the
+    # sort/unsort permute kernels (once per policy step, ~O(V^2) compares —
+    # amortized over 15 frames they are <2% of a step).
+    def body_sorted_fn(arrs):
+        f = {n: a for n, a in zip(names, arrs)}
+        f["viol"] = jnp.zeros_like(f["px"])
+        V_ = f["px"].shape[0]
+        f["idx"] = jnp.broadcast_to(
+            jnp.arange(V_, dtype=jnp.float32)[:, None], f["px"].shape
+        )
+        o = spb._frame_body(fs, p, dt, raw, True, has_linear, True, f)
+        return [o[n] for n in spb.BM_MUT_FIELDS + ["viol"]]
+
+    flbs, trbs = _cost(body_sorted_fn, arrays)
+    out["pallas_sorted_body_flops_per_env_frame"] = round(flbs / B)
+    out["pallas_sorted_step_mflops"] = round(flbs / B * frames / 1e6, 2)
+    out["pallas_sorted_transcendentals_per_env_frame"] = round(trbs / B, 1)
+
     # ---- section breakdown of the body --------------------------------- #
     # Reconstructed standalone: each section traced on the same shapes the
     # body uses, so shares are comparable (sum != total exactly — shared
