@@ -818,8 +818,16 @@ class BaseEnv:
     # ------------------------------------------------------------------ #
     # batched + auto-reset conveniences
     # ------------------------------------------------------------------ #
-    def reset_batch(self, keys):
+    def _reset_batched(self, keys):
+        """Batched reset over a leading key axis.  Default is plain
+        ``vmap(_reset)``; envs with an expensive in-reset simulation stage
+        override it to route that stage through the batched kernels
+        (intersection's 45-frame warm-up: 35 -> ~3 ms per 128-env reset
+        batch on TPU)."""
         return jax.vmap(self._reset)(keys)
+
+    def reset_batch(self, keys):
+        return self._reset_batched(keys)
 
     def step_autoreset(self, state: EnvState, action):
         """Single-env step that re-initializes on episode end (the Gymnasium
@@ -949,7 +957,7 @@ class BaseEnv:
             idx = jnp.flatnonzero(mask, size=P, fill_value=0)
             valid = jnp.arange(P) < n
 
-            r_obs, rst = jax.vmap(self._reset)(k_reset[idx])
+            r_obs, rst = self._reset_batched(k_reset[idx])
             rst = rst.replace(key=k_next[idx])
 
             def scatter(x, r):

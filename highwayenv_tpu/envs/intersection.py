@@ -276,8 +276,12 @@ class IntersectionEnv(BaseEnv):
             route_len=set1(veh.route_len, rlen[r0, r1]),
         )
 
-    def _reset_vehicles(self, key):
-        """intersection_env.py:255-322."""
+    def _spawn_initial(self, key):
+        """Phase A of the reset: initial random NPCs at stations
+        linspace(0, 80) (intersection_env.py:255-268).  Returns the
+        pre-warm-up state plus the split key array the later phases
+        consume (the key schedule is shared with the batched reset so
+        both paths draw identically)."""
         cfg = self.config
         V = self.num_slots
         n_ctrl = cfg["controlled_vehicles"]
@@ -287,31 +291,101 @@ class IntersectionEnv(BaseEnv):
 
         keys = jax.random.split(key, n_init + n_ctrl + 2)
 
-        # 1. initial random NPCs at stations linspace(0, 80)
         stations = np.linspace(0, 80, n_init)
         for t in range(n_init - 1):
             veh = self._spawn_into_slot(
                 veh, t, keys[t], jnp.float32(stations[t]),
                 spawn_probability=cfg["spawn_probability"],
             )
+        return veh, keys
 
-        # 2. three seconds of warm-up traffic simulation
+    @property
+    def _warmup_frames(self) -> int:
+        return 3 * self.config["simulation_frequency"]
+
+    @property
+    def _warmup_slots(self) -> int:
+        """Only slots 0..n_init-2 can be occupied during warm-up (the
+        challenger and egos spawn afterwards), so the O(V^2) pair kernels
+        run on a truncated, 8-padded slot array."""
+        n_init = self.config["initial_vehicle_count"]
+        return min(self.num_slots, -(-(n_init - 1) // 8) * 8)
+
+    def _reset_vehicles(self, key):
+        """intersection_env.py:255-322."""
+        veh, keys = self._spawn_initial(key)
+
+        # three seconds of warm-up traffic simulation
         # (intersection_env.py:270-277).  The frame counter starts at 0 so
-        # the tick phase is static; only the first n_init-1 slots can be
-        # occupied (the challenger and egos spawn afterwards), so the
-        # O(V^2) pair kernels run on a truncated slot array and the result
-        # is scattered back.
-        warmup = 3 * cfg["simulation_frequency"]
-        W = min(V, -(-(n_init - 1) // 8) * 8)  # slots 0..n_init-2, 8-padded
+        # the tick phase is static.
+        W = self._warmup_slots
         zero_actions = jnp.zeros(
             (W,) + tuple(getattr(self.action_type, "action_shape", ())),
             jnp.float32 if getattr(self.action_type, "action_shape", ()) else jnp.int32,
         )
         sub = jax.tree.map(lambda x: x[:W], veh)
-        sub = self._run_frames_static(sub, zero_actions, warmup, steps0=0)
+        sub = self._run_frames_static(
+            sub, zero_actions, self._warmup_frames, steps0=0
+        )
         veh = jax.tree.map(
             lambda s, f: jnp.concatenate([s, f[W:]], axis=0), sub, veh
         )
+        return self._finish_reset_vehicles(veh, keys)
+
+    def _reset_batched(self, keys):
+        """Batched reset with the 45-frame warm-up routed through the
+        regulated general Pallas kernel (envs/base.py hook).
+
+        The default ``vmap(_reset)`` runs the warm-up as 45 sequential XLA
+        frames per env — ~35 ms per 128-env reset batch, which dominated
+        the compact-autoreset step once the step kernel landed (round 5).
+        Here phase A (spawns) and phase B (challenger + egos) stay vmapped
+        while the warm-up runs as ONE pallas call over the whole
+        (P, warmup_slots) sub-batch with a uniform zero phase.  Positions
+        differ from the XLA warm-up only by the kernel's cephes-trig
+        precision (PARITY #17), exactly like the step path itself; on
+        non-TPU backends (or off-block batch sizes) this falls back to the
+        default."""
+        P = keys.shape[0]
+        if not self._use_pallas_general(P):
+            return super()._reset_batched(keys)
+        from highwayenv_tpu.ops.general_pallas_bm import (
+            pallas_simulate_general,
+        )
+
+        kv, ks = jnp.moveaxis(jax.vmap(jax.random.split)(keys), 1, 0)
+        veh, spawn_keys = jax.vmap(self._spawn_initial)(kv)
+
+        W = self._warmup_slots
+        sub = jax.tree.map(lambda x: x[:, :W], veh)
+        # interpret=True only ever fires under tests that monkeypatch the
+        # gate on a CPU backend; real use reaches here on TPU only
+        sub = pallas_simulate_general(
+            self, sub, jnp.zeros((P, W), jnp.float32), self._warmup_frames,
+            steps0=jnp.zeros((P,), jnp.int32) if self.regulated else None,
+            block=min(self.pallas_block, P),
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+        veh = jax.tree.map(
+            lambda s, f: jnp.concatenate([s, f[:, W:]], axis=1), sub, veh
+        )
+
+        veh = jax.vmap(self._finish_reset_vehicles)(veh, spawn_keys)
+        veh = jax.vmap(self._apply_npc_type)(veh)
+        states = EnvState(
+            vehicles=veh,
+            time=jnp.zeros((P,), jnp.float32),
+            steps=jnp.full((P,), self._initial_steps, jnp.int32),
+            key=ks,
+        )
+        states = jax.vmap(self._push_frame)(states)
+        return jax.vmap(self._observe)(states), states
+
+    def _finish_reset_vehicles(self, veh, keys):
+        """Phase B of the reset: challenger + controlled vehicles
+        (intersection_env.py:279-322)."""
+        cfg = self.config
+        n_init = cfg["initial_vehicle_count"]
 
         # 3. challenger (straight crossing, spawn_probability 1)
         veh = self._spawn_into_slot(

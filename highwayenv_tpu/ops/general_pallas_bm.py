@@ -165,14 +165,14 @@ def try_general(env) -> GeneralGeo | None:
 
     if env._straight is not None:  # the specialized kernel is better
         return None
-    # Regulated envs are SUPPORTED since round 4 (the right-of-way pass
-    # runs inside the kernel, masked per env's tick phase; bitwise-matching
-    # tests in test_general_pallas.py) but OPT-IN: evaluating the conflict
-    # pass every frame (per-env phases prevent the XLA scheduler's
-    # tick-slot amortization) measured 2.4x SLOWER than the vmapped XLA
-    # path at V=25/L=20/T=11 (123 vs 51 ms/step, B=1024, 2026-08-20).
-    # Enable with HT_REG_PALLAS=1 to iterate on the enforcement lowering.
-    if env.regulated and not __import__("os").environ.get("HT_REG_PALLAS"):
+    # Regulated envs: DEFAULT since round 5.  The round-4 every-frame
+    # enforcement build was slower than the XLA tick scheduler, but the
+    # static-slot schedule (build_general_frame) computes the conflict
+    # pass at only ceil(frames/period) static tick slots: intersection-v0
+    # sim 25.2 -> ~12 ms/step at B=1024 (bitwise-matching the XLA path on
+    # mixed-phase batches, test_general_pallas.py).  HT_NO_REG_PALLAS=1
+    # restores the XLA tick scheduler.
+    if env.regulated and __import__("os").environ.get("HT_NO_REG_PALLAS"):
         return None
     if type(env)._step is not BaseEnv._step:
         return None
@@ -1435,32 +1435,31 @@ def build_general_frame(
                 }
 
             m = {name: f[name] for name in mut}
-            if period > 1:
-
-                def pro(j, m):
-                    jf = j.astype(F32)
-                    return masked(
-                        m, jnp.zeros_like(i0) + jf, jf < i0, None
-                    )
-
-                m = jax.lax.fori_loop(0, period - 1, pro, m)
-            # one fori over tick periods, each = [tick slot + masked
-            # chunk fori]: the program contains the enforcement-bearing
-            # body exactly ONCE (inlining it per tick tripled its VMEM
-            # footprint and measured 21.9 ms vs this layout's target;
-            # the price is fully-masked trailing chunk slots)
+            # one fori over tick periods, each = [period-1 masked plain
+            # slots LEADING UP TO the tick + the tick slot]: the program
+            # contains the enforcement-bearing body exactly ONCE (inlining
+            # it per tick tripled its VMEM footprint: 21.9 ms vs 15.6),
+            # and period 0's leading slots double as the prologue (frames
+            # 0..i0-1), so the schedule is the minimal period-1 + frames
+            # = 21 slots for frames=15, period=7 (a separate prologue +
+            # trailing masked chunks measured 27 slots / ~16 ms)
             max_ticks = -(-frames // period)
 
             def one_period(e, m):
                 t_e = i0 + e.astype(F32) * float(period)
+
+                def lead(j, m):
+                    # frames t_e - (period-1) .. t_e - 1, clipped to the
+                    # policy step; period 0: exactly the 0..i0-1 prologue
+                    fidx = t_e - float(period) + j.astype(F32)
+                    return masked(
+                        m, fidx, (fidx >= 0.0) & (fidx < float(frames)),
+                        None,
+                    )
+
+                m = jax.lax.fori_loop(1, period, lead, m)
                 act = t_e < float(frames)
-                m = masked(m, t_e, act, act)
-
-                def chunk(j, m):
-                    fidx = t_e + j.astype(F32)
-                    return masked(m, fidx, fidx < float(frames), None)
-
-                return jax.lax.fori_loop(1, period, chunk, m)
+                return masked(m, t_e, act, act)
 
             out = jax.lax.fori_loop(0, max_ticks, one_period, m)
         for name, r in zip(mut, refs[n:]):

@@ -33,11 +33,10 @@ def test_gate_covers_expected_envs():
     for env_id in GENERAL_IDS:
         env = ht.make(env_id)
         assert env._general is not None, env_id
-    # regulated envs are SUPPORTED since round 4 but opt-in (the in-kernel
-    # per-frame conflict pass measured slower than the XLA tick scheduler);
-    # HT_REG_PALLAS=1 admits them — the regulated test below builds its
-    # kernel directly, so coverage does not depend on the flag
-    assert ht.make("intersection-v0")._general is None
+    # regulated envs are DEFAULT since round 5 (the static-slot schedule
+    # beats the XLA tick scheduler; HT_NO_REG_PALLAS=1 opts out)
+    assert ht.make("intersection-v0")._general is not None
+    assert ht.make("intersection-multi-agent-v0")._general is not None
     # out of scope: straight (own kernel), custom _step, dynamical egos
     # (intersection-v1 continuous), connected-lanes (intersection-v2)
     assert ht.make("highway-v0")._general is None
