@@ -118,7 +118,7 @@ def main():
     vpu_peak = float(os.environ.get("BENCH_VPU_PEAK_F32", 7.7e12))
     flops_semantic = float(os.environ.get("BENCH_FLOPS_PER_STEP", 37.24e6))
     flops_executed = float(
-        os.environ.get("BENCH_FLOPS_EXECUTED_PER_STEP", 24.68e6)
+        os.environ.get("BENCH_FLOPS_EXECUTED_PER_STEP", 15.71e6)
     )
     print(
         json.dumps(

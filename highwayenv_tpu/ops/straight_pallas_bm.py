@@ -999,7 +999,7 @@ def build_sort_kernels(env, block: int = 128, interpret: bool = False):
 
 def pallas_simulate_bm_sorted(
     env, veh: VehicleState, slot_actions, frames: int,
-    block: int = 128, interpret: bool = False,
+    block: int = 128, interpret: bool = False, return_viol: bool = False,
 ) -> VehicleState:
     """Policy-step simulation with the s-sorted slot layout: ego meta-action
     in XLA, then a Pallas sort kernel, all frames in the VMEM-resident
@@ -1080,12 +1080,15 @@ def pallas_simulate_bm_sorted(
     def _full(v):
         return _simulate_bm_core(env, v, frames, block, interpret)
 
-    return jax.lax.cond(
+    out_veh = jax.lax.cond(
         n_viol == 0,
         _no_viol,
         lambda v: jax.lax.cond(n_viol <= K, _patch, _full, v),
         veh,
     )
+    if return_viol:  # diagnostics: how many envs fired the dense fallback
+        return out_veh, n_viol
+    return out_veh
 
 
 def pallas_simulate_bm(
