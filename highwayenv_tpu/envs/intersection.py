@@ -295,7 +295,11 @@ class IntersectionEnv(BaseEnv):
         for t in range(n_init - 1):
             veh = self._spawn_into_slot(
                 veh, t, keys[t], jnp.float32(stations[t]),
-                spawn_probability=cfg["spawn_probability"],
+                # the reference's initial population uses _spawn_vehicle's
+                # DEFAULT spawn_probability=0.6 (intersection_env.py:269-270,
+                # :324-332); config["spawn_probability"] gates only the
+                # in-episode spawns (:139)
+                spawn_probability=0.6,
             )
         return veh, keys
 
