@@ -302,6 +302,246 @@ def _collisions_sorted_lean(f, dt, px, py, heading, speed,
     return crashed > 0.5, pend > 0.5, ix, iy, viol_f
 
 
+#: rank window for the banded NEIGHBOUR search in the sorted kernel (round
+#: 5; the collision analogue is SORT_WINDOW).  The front/rear neighbour on
+#: a lane is NOT distance-local, so unlike collisions the band alone can't
+#: be exact — exactness comes from per-lane suffix-argmin / prefix-argmax
+#: structures that answer the beyond-band part of each query in O(log V)
+#: rolls, with the SAME key/tie semantics as the dense one-hot pass.  The
+#: band absorbs local sort-order decay (vehicles crossing in s mid-step);
+#: a query-vs-member crossing of more than this many ranks raises the
+#: per-env violation flag and rides the existing dense fallback.
+NEIGH_WINDOW = int(__import__("os").environ.get("HT_SORT_WN", 6))
+
+
+def _neigh_banded(fs, f, s, lat0, occupiable, cos_h, sin_h, vxv, vyv,
+                  lane_off, sel_off, idm, deciding, mid_change, has_linear):
+    """Banded + beyond-band-exact neighbour queries for the s-sorted layout.
+
+    Replaces the three dense ``neigh_masks`` + ``fetch`` passes (six (V,V,
+    blk) mask/min/contraction pipelines — measured ~47% of the sorted
+    kernel's end-to-end step time, scripts/ablate_bm_kernel.py) with
+    O(W + L log V) work on (V, blk) vectors:
+
+    - **in-band**: ranks r-W..r+W searched with the FULL dense predicates
+      (lane match, occupiable, s-ordering vs the query's own s), ascending
+      rank so the reference tie-breaks fall out of the update rule (front:
+      non-strict min — last/largest rank wins ties, matching road.py:539's
+      ``<=`` overwrite in the sorted column order; rear: strict max —
+      first/smallest rank wins, road.py:543-545);
+    - **beyond band**: per-lane log-doubling suffix-ARGMIN (tie -> larger
+      rank) / prefix-ARGMAX (tie -> smaller rank) structures over member
+      s keys carry the winner's payload directly — no order assumption on
+      the decayed sort; each query selects its lane's structure shifted by
+      W.  The beyond-ahead argmin is the exact front winner iff its key
+      >= the query's s; the beyond-behind argmax the exact rear winner iff
+      its key < s.  The remaining cases (a member more than W ranks away
+      that CROSSED the query in s since the step's sort) raise the per-env
+      violation flag — same exactness contract as the collision band's
+      suffix-scan test, same dense-fallback consumer.
+    - **flags are gated to consuming rows** (front results feed every
+      uncrashed NPC's IDM via a_self; rear/candidate results only
+      deciding/mid-change rows — behavior.py:229-343), so a crossing next
+      to a crashed or non-deciding row costs nothing.
+
+    Returns ``({d: (front_row, front_ex, rear_row, rear_ex)}, viol_f)``
+    for d in (-1, 0, +1) query lanes, rows keyed like ``fetch``'s output
+    (zero fields when absent, bitwise-matching the dense zero-row
+    contract).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    V, blk = s.shape
+    Wn = min(NEIGH_WINDOW, V - 1)
+    off = [float(o) for o in fs.offsets]
+    L = len(off)
+    tol = fs.width / 2 + 1.0
+    INF = jnp.float32(1e9)
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (V, blk), 0).astype(F32)
+
+    def up(x, k):
+        return pltpu.roll(x, V - k, 0)
+
+    def down(x, k):
+        return pltpu.roll(x, k, 0)
+
+    front_pl = {"s": s, "vx": vxv, "vy": vyv}
+    if has_linear:
+        front_pl["speed"] = f["speed"]
+    rear_pl = {
+        "s": s, "speed": f["speed"], "target_speed": f["target_speed"],
+        "cos": cos_h, "sin": sin_h,
+    }
+    occ_f = jnp.where(occupiable, 1.0, 0.0)
+
+    # --- per-lane beyond-band structures, shifted by Wn ------------------ #
+    far_a, far_b = [], []
+    for l in range(L):
+        mem_f = occ_f * jnp.where(jnp.abs(lat0 - off[l]) <= tol, 1.0, 0.0)
+        # suffix argmin over ranks > j (tie -> larger rank)
+        has = jnp.where(row2 < float(V - 1), up(mem_f, 1), 0.0)
+        key = jnp.where(has > 0.5, up(s, 1), INF)
+        pl = {k2: up(v, 1) for k2, v in front_pl.items()}
+        k = 1
+        while k < V:
+            vk = row2 < float(V - k)
+            r_has = jnp.where(vk, up(has, k), 0.0)
+            r_key = jnp.where(r_has > 0.5, up(key, k), INF)
+            take = (r_has > 0.5) & (r_key <= key)
+            for k2 in pl:
+                pl[k2] = jnp.where(take, up(pl[k2], k), pl[k2])
+            key = jnp.where(take, r_key, key)
+            has = jnp.maximum(has, r_has)
+            k *= 2
+        vW = row2 < float(V - Wn)
+        far_a.append((
+            jnp.where(vW, up(has, Wn), 0.0),
+            jnp.where(vW, up(key, Wn), INF),
+            {k2: up(v, Wn) for k2, v in pl.items()},
+        ))
+        # prefix argmax over ranks < j (tie -> smaller rank)
+        bhas = jnp.where(row2 >= 1.0, down(mem_f, 1), 0.0)
+        bkey = jnp.where(bhas > 0.5, down(s, 1), -INF)
+        bpl = {k2: down(v, 1) for k2, v in rear_pl.items()}
+        k = 1
+        while k < V:
+            vk = row2 >= float(k)
+            l_has = jnp.where(vk, down(bhas, k), 0.0)
+            l_key = jnp.where(l_has > 0.5, down(bkey, k), -INF)
+            take = (l_has > 0.5) & (l_key >= bkey)
+            for k2 in bpl:
+                bpl[k2] = jnp.where(take, down(bpl[k2], k), bpl[k2])
+            bkey = jnp.where(take, l_key, bkey)
+            bhas = jnp.maximum(bhas, l_has)
+            k *= 2
+        vWb = row2 >= float(Wn)
+        far_b.append((
+            jnp.where(vWb, down(bhas, Wn), 0.0),
+            jnp.where(vWb, down(bkey, Wn), -INF),
+            {k2: down(v, Wn) for k2, v in bpl.items()},
+        ))
+
+    # --- queries: offsets, flag gates, far selection, registers ---------- #
+    lane = f["lane"]
+    g_idm = jnp.where(idm, 1.0, 0.0)
+    g_dm = jnp.where(deciding | mid_change, 1.0, 0.0)
+    viol = jnp.zeros_like(s)
+    reg = {}
+    for d in (-1, 0, 1):
+        if d == 0:
+            q_off = lane_off
+            gf = g_idm
+        else:
+            q_off = sel_off(jnp.clip(lane + d, 0.0, L - 1.0))
+            gf = g_dm
+        fa_has = jnp.zeros_like(s)
+        fa_key = jnp.full_like(s, INF)
+        fa_pl = {k2: jnp.zeros_like(s) for k2 in front_pl}
+        fb_has = jnp.zeros_like(s)
+        fb_key = jnp.full_like(s, -INF)
+        fb_pl = {k2: jnp.zeros_like(s) for k2 in rear_pl}
+        for l in range(L):
+            m = jnp.abs(q_off - off[l]) < 0.5  # offsets are exact floats
+            ah, ak, apl = far_a[l]
+            fa_has = jnp.where(m, ah, fa_has)
+            fa_key = jnp.where(m, ak, fa_key)
+            for k2 in fa_pl:
+                fa_pl[k2] = jnp.where(m, apl[k2], fa_pl[k2])
+            bh, bk, bpl2 = far_b[l]
+            fb_has = jnp.where(m, bh, fb_has)
+            fb_key = jnp.where(m, bk, fb_key)
+            for k2 in fb_pl:
+                fb_pl[k2] = jnp.where(m, bpl2[k2], fb_pl[k2])
+        # violation: a beyond-band member crossed the query in s — the
+        # beyond-ahead argmin fell below s (it or another far member may
+        # be an eligible candidate this pass can't rank), or the beyond-
+        # behind argmax reached s (ditto).  Both front and rear answers
+        # of this query are then unsafe; gf covers both consumers
+        # (rear consumers are a subset of front consumers per query).
+        crossed = ((fa_has > 0.5) & (fa_key < s)) | (
+            (fb_has > 0.5) & (fb_key >= s)
+        )
+        viol = jnp.maximum(viol, gf * jnp.where(crossed, 1.0, 0.0))
+        # rear register starts from the far-behind winner (smallest ranks;
+        # in-band strict > updates preserve its tie priority)
+        cond_fb = (fb_has > 0.5) & (fb_key < s)
+        reg[d] = {
+            "q_off": q_off,
+            "fr_found": jnp.zeros_like(s),
+            "fr_key": jnp.full_like(s, INF),
+            "fr_pl": {k2: jnp.zeros_like(s) for k2 in front_pl},
+            "rr_found": jnp.where(cond_fb, 1.0, 0.0),
+            "rr_key": jnp.where(cond_fb, fb_key, -INF),
+            "rr_pl": {
+                k2: jnp.where(cond_fb, fb_pl[k2], 0.0) for k2 in rear_pl
+            },
+            "fa": (fa_has, fa_key, fa_pl),
+        }
+
+    # --- in-band search, ascending rank ---------------------------------- #
+    for dd in list(range(-Wn, 0)) + list(range(1, Wn + 1)):
+        if dd < 0:
+            shift, valid = (
+                lambda x, k=-dd: down(x, k),
+                row2 >= float(-dd),
+            )
+        else:
+            shift, valid = (
+                lambda x, k=dd: up(x, k),
+                row2 < float(V - dd),
+            )
+        base = jnp.where(valid, shift(occ_f), 0.0) > 0.5
+        lat_p = shift(lat0)
+        s_p = shift(s)
+        sp_p = shift(f["speed"])
+        ts_p = shift(f["target_speed"])
+        cos_p = shift(cos_h)
+        sin_p = shift(sin_h)
+        vx_p = shift(vxv)
+        vy_p = shift(vyv)
+        pl_front = {"s": s_p, "vx": vx_p, "vy": vy_p}
+        if has_linear:
+            pl_front["speed"] = sp_p
+        pl_rear = {
+            "s": s_p, "speed": sp_p, "target_speed": ts_p,
+            "cos": cos_p, "sin": sin_p,
+        }
+        for d in (-1, 0, 1):
+            r = reg[d]
+            mm = base & (jnp.abs(lat_p - r["q_off"]) <= tol)
+            fcond = mm & (s_p >= s) & (s_p <= r["fr_key"])
+            for k2 in r["fr_pl"]:
+                r["fr_pl"][k2] = jnp.where(fcond, pl_front[k2], r["fr_pl"][k2])
+            r["fr_key"] = jnp.where(fcond, s_p, r["fr_key"])
+            r["fr_found"] = jnp.maximum(
+                r["fr_found"], jnp.where(fcond, 1.0, 0.0)
+            )
+            rcond = mm & (s_p < s) & (s_p > r["rr_key"])
+            for k2 in r["rr_pl"]:
+                r["rr_pl"][k2] = jnp.where(rcond, pl_rear[k2], r["rr_pl"][k2])
+            r["rr_key"] = jnp.where(rcond, s_p, r["rr_key"])
+            r["rr_found"] = jnp.maximum(
+                r["rr_found"], jnp.where(rcond, 1.0, 0.0)
+            )
+
+    # --- merge far-ahead (largest ranks last: non-strict <= wins ties) --- #
+    rows = {}
+    for d in (-1, 0, 1):
+        r = reg[d]
+        fa_has, fa_key, fa_pl = r["fa"]
+        cond_fa = (fa_has > 0.5) & (fa_key >= s) & (fa_key <= r["fr_key"])
+        for k2 in r["fr_pl"]:
+            r["fr_pl"][k2] = jnp.where(cond_fa, fa_pl[k2], r["fr_pl"][k2])
+        r["fr_found"] = jnp.maximum(r["fr_found"], jnp.where(cond_fa, 1.0, 0.0))
+        front_row = dict(r["fr_pl"])
+        front_ex = r["fr_found"] > 0.5
+        rear_row = dict(r["rr_pl"])
+        rear_ex = r["rr_found"] > 0.5
+        rear_row["is_vehicle"] = rear_ex  # lean: every member is a vehicle
+        rows[d] = (front_row, front_ex, rear_row, rear_ex)
+    return rows, viol
+
+
 def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
                 lean: bool, has_linear: bool, sorted_mode: bool,
                 f: dict) -> dict:
@@ -469,10 +709,25 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
 
     T = jnp.ones_like(crashed)
 
-    op_hot, op_ex, of_hot, of_ex = neigh_masks(lane_off)
-    row_op = fetch(op_hot, FRONT_KEYS)
-    row_of = fetch(of_hot, EGO_KEYS)
-    a_self = accel_pair(self_row, T, row_op, op_ex)
+    # HT_ABLATE_UNSAFE: timing-only section ablation for
+    # scripts/ablate_bm_kernel.py — BREAKS SEMANTICS, never set in
+    # production.  "neigh": zero out the neighbour mask/fetch machinery;
+    # "abort": skip the abort-on-conflict pair pass; comma-combinable.
+    _ablate = __import__("os").environ.get("HT_ABLATE_UNSAFE", "").split(",")
+    if "neigh" in _ablate:
+        zrow = {
+            k: (jnp.zeros_like(s) > 0.5 if k == "is_vehicle"
+                else jnp.zeros_like(s))
+            for k in fetch_fields
+        }
+        zex = jnp.zeros_like(s) > 0.5
+
+        def neigh_masks(query_off):  # noqa: F811 — deliberate shadow
+            zhot = jnp.zeros_like(s)[:, None, :] * jnp.zeros_like(s)[None, :, :]
+            return zhot, zex, zhot, zex
+
+        def fetch(hot, keys=None):  # noqa: F811 — deliberate shadow
+            return {k: zrow[k] for k in (keys or fetch_fields.keys())}
 
     mid_change = jnp.abs(f["lane"] - f["target_lane"]) > 0.5
     # do_every(delay, timer): delay < timer (utils/math.py:42-43)
@@ -481,19 +736,42 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     new_timer = jnp.where(deciding, 0.0, f["timer"])
     moving = jnp.abs(f["speed"]) >= 1.0
 
+    # banded neighbour pass (round 5): default on the sorted lean path,
+    # HT_SORT_DENSE_NEIGH=1 restores the dense (V,V,blk) mask machinery
+    _banded = (
+        sorted_mode and lean and "neigh" not in _ablate
+        and __import__("os").environ.get("HT_SORT_DENSE_NEIGH", "0") != "1"
+    )
+    viol_neigh = None
+    if _banded:
+        nrows, viol_neigh = _neigh_banded(
+            fs, f, s, lat0, occupiable, cos_h, sin_h, vxv, vyv,
+            lane_off, sel_off, idm, deciding, mid_change, has_linear,
+        )
+        row_op, op_ex, row_of, of_ex = nrows[0]
+    else:
+        op_hot, op_ex, of_hot, of_ex = neigh_masks(lane_off)
+        row_op = fetch(op_hot, FRONT_KEYS)
+        row_of = fetch(of_hot, EGO_KEYS)
+    a_self = accel_pair(self_row, T, row_op, op_ex)
+
     a_of = accel_pair(row_of, of_ex, self_row, T)
     a_of_pred = accel_pair(row_of, of_ex, row_op, op_ex)
 
     target = f["target_lane"]
-    np_front = {}  # d -> (hot, ex) of the candidate-lane front neighbour
+    np_front = {}  # d -> (hot|row, ex) of the candidate-lane front neighbour
     for d in (-1, 1):
         cand = jnp.clip(f["lane"] + d, 0.0, L - 1.0)
         exists = (f["lane"] + d >= -0.5) & (f["lane"] + d < L - 0.5)
         cand_off = sel_off(cand)
-        np_hot, np_ex, nf_hot, nf_ex = neigh_masks(cand_off)
-        np_front[d] = (np_hot, np_ex)
-        row_np = fetch(np_hot, FRONT_KEYS)
-        row_nf = fetch(nf_hot, EGO_KEYS)
+        if _banded:
+            row_np, np_ex, row_nf, nf_ex = nrows[d]
+            np_front[d] = (row_np, np_ex)
+        else:
+            np_hot, np_ex, nf_hot, nf_ex = neigh_masks(cand_off)
+            np_front[d] = (np_hot, np_ex)
+            row_np = fetch(np_hot, FRONT_KEYS)
+            row_nf = fetch(nf_hot, EGO_KEYS)
         a_nf = accel_pair(row_nf, nf_ex, row_np, np_ex)
         a_nf_pred = accel_pair(row_nf, nf_ex, self_row, T)
         a_self_pred = accel_pair(self_row, T, row_np, np_ex)
@@ -515,31 +793,39 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
         target = jnp.where(ok, cand, target)
 
     # abort-on-conflict (behavior.py:229-243)
-    d_ij = s_c - s_q
-    dv_ij = (vxv[:, None, :] - vxv[None, :, :]) * cos_h[:, None, :] + (
-        vyv[:, None, :] - vyv[None, :, :]
-    ) * sin_h[:, None, :]
-    ab = -p.comfort_acc_max * p.comfort_acc_min
-    d_star_ij = (
-        p.distance_wanted
-        + f["speed"][:, None, :] * p.time_wanted
-        + f["speed"][:, None, :] * dv_ij / (2 * jnp.sqrt(ab))
-    )
-    conflict = (
-        not_eye
-        & (is_controlled.astype(F32)[None, :, :] > 0.5)
-        & (jnp.abs(f["lane"][None, :, :] - f["target_lane"][:, None, :]) > 0.5)
-        & (
-            jnp.abs(f["target_lane"][None, :, :] - f["target_lane"][:, None, :])
-            < 0.5
+    if "abort" in _ablate:  # timing-only, see HT_ABLATE_UNSAFE above
+        pass
+    else:
+        d_ij = s_c - s_q
+        dv_ij = (vxv[:, None, :] - vxv[None, :, :]) * cos_h[:, None, :] + (
+            vyv[:, None, :] - vyv[None, :, :]
+        ) * sin_h[:, None, :]
+        ab = -p.comfort_acc_max * p.comfort_acc_min
+        d_star_ij = (
+            p.distance_wanted
+            + f["speed"][:, None, :] * p.time_wanted
+            + f["speed"][:, None, :] * dv_ij / (2 * jnp.sqrt(ab))
         )
-        & (0.0 < d_ij)
-        & (d_ij < d_star_ij)
-    )
-    abort = idm & mid_change & (
-        jnp.max(conflict.astype(F32), axis=1) > 0.5
-    )
-    target = jnp.where(abort, f["lane"], target)
+        conflict = (
+            not_eye
+            & (is_controlled.astype(F32)[None, :, :] > 0.5)
+            & (
+                jnp.abs(f["lane"][None, :, :] - f["target_lane"][:, None, :])
+                > 0.5
+            )
+            & (
+                jnp.abs(
+                    f["target_lane"][None, :, :] - f["target_lane"][:, None, :]
+                )
+                < 0.5
+            )
+            & (0.0 < d_ij)
+            & (d_ij < d_star_ij)
+        )
+        abort = idm & mid_change & (
+            jnp.max(conflict.astype(F32), axis=1) > 0.5
+        )
+        target = jnp.where(abort, f["lane"], target)
 
     # --- low-level controls ------------------------------------------------ #
     new_tgt_off = sel_off(target)
@@ -583,12 +869,6 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
     # already-computed queries — select per row instead of a 4th mask pass.
     mid = jnp.abs(f["lane"] - target) > 0.5
     d_t = target - f["lane"]  # in {-1, 0, +1}
-    d_t3 = d_t[:, None, :]
-    npt_hot = jnp.where(
-        jnp.abs(d_t3) < 0.5,
-        op_hot,
-        jnp.where(d_t3 < 0, np_front[-1][0], np_front[1][0]),
-    )
     # bool select via logic ops (mosaic cannot lower i1-operand selects)
     is0 = jnp.abs(d_t) < 0.5
     ism = d_t < -0.5
@@ -597,7 +877,24 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
         | (ism & np_front[-1][1])
         | (~is0 & ~ism & np_front[1][1])
     )
-    a_t = accel_pair(self_row, T, fetch(npt_hot, FRONT_KEYS), npt_ex)
+    if _banded:
+        # np_front holds fetched rows — select per row, no pair select
+        row_npt = {
+            k: jnp.where(
+                is0, row_op[k],
+                jnp.where(ism, np_front[-1][0][k], np_front[1][0][k]),
+            )
+            for k in FRONT_KEYS
+        }
+    else:
+        d_t3 = d_t[:, None, :]
+        npt_hot = jnp.where(
+            jnp.abs(d_t3) < 0.5,
+            op_hot,
+            jnp.where(d_t3 < 0, np_front[-1][0], np_front[1][0]),
+        )
+        row_npt = fetch(npt_hot, FRONT_KEYS)
+    a_t = accel_pair(self_row, T, row_npt, npt_ex)
     accel = jnp.where(mid, jnp.minimum(a_self, a_t), a_self)
     accel = jnp.clip(accel, -p.acc_max, p.acc_max)
 
@@ -682,8 +979,13 @@ def _frame_body(fs: StraightGeo, p: IDMParams, dt: float, raw_controls: bool,
             steering=new_steer, accel=new_accel,
             # sticky window-violation flag across the step's frames: any
             # flagged frame invalidates the banded step (the caller then
-            # re-runs it densely)
-            viol=jnp.maximum(f["viol"], viol_f),
+            # re-runs it densely).  Since round 5 the neighbour band's
+            # crossing flag feeds the same field.
+            viol=jnp.maximum(
+                f["viol"],
+                viol_f if viol_neigh is None
+                else jnp.maximum(viol_f, viol_neigh),
+            ),
         )
         return out
 

@@ -137,16 +137,25 @@ def main():
     carry = (params, target, opt_state, states, obs, buf,
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     t0 = time.time()
+    t_mark, it_mark = t0, 0  # steady-state window start (reset after compile)
     for it in range(ITERS):
         eps = EPS0 + (EPS1 - EPS0) * min(it / EPS_STEPS, 1.0)
         key, k = jax.random.split(key)
         carry, (loss, mr) = train_iter(carry, k, eps)
+        if it == 0:
+            # first iter pays the full compile; exclude it from the
+            # steady-state rate (host-materialize so the timer is honest)
+            float(loss)
+            print(f"compile+first-iter {time.time() - t0:.1f}s")
+            t_mark, it_mark = time.time(), 1
         if it % TARGET_EVERY == TARGET_EVERY - 1:
             carry = (carry[0], carry[0]) + carry[2:]  # sync target
-        if it % 50 == 0 or it == ITERS - 1:
+        if (it % 50 == 0 and it > 0) or it == ITERS - 1:
+            float(loss)  # drain the dispatch queue before reading the clock
+            rate = B * (it + 1 - it_mark) / (time.time() - t_mark)
             print(
                 f"iter {it:5d}  eps {eps:.2f}  loss {float(loss):.4f}  "
-                f"mean_r {float(mr):.3f}  {B*(it+1)/(time.time()-t0):,.0f} env-steps/s"
+                f"mean_r {float(mr):.3f}  {rate:,.0f} env-steps/s (steady)"
             )
     return carry
 

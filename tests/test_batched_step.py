@@ -138,6 +138,18 @@ def test_sorted_banded_collisions_match_dense():
         "lane", "target_lane", "timer", "steering", "accel", "hit",
         "target_speed",
     ]
+    # Discrete fields must match exactly everywhere.  Continuous fields:
+    # the sorted kernel's banded NEIGHBOUR pass (round 5) produces rows
+    # that are exact selects of the same values the dense one-hot fetch
+    # contracts, but XLA:CPU FMA-contracts the downstream IDM arithmetic
+    # differently for the two program shapes — a 1-2 ulp artifact of the
+    # interpret-mode HOST compiler only (the same artifact the SAT fold
+    # hit, utils/math.py:350-354).  On the real TPU the compiled kernels
+    # measure bitwise equal (tests/tpu/test_on_tpu.py::
+    # test_sorted_matches_dense_compiled, HT_TPU gate).
+    exact_fields = [
+        "crashed", "impact_pending", "lane", "target_lane", "hit",
+    ]
     for name, v in [
         ("normal", veh),
         ("compressed", veh_compressed),
@@ -146,10 +158,23 @@ def test_sorted_banded_collisions_match_dense():
     ]:
         d, s = dense(v, sa), srt(v, sa)
         for fld in fields:
-            np.testing.assert_array_equal(
-                np.asarray(getattr(d, fld)),
-                np.asarray(getattr(s, fld)),
-                err_msg=f"{name}:{fld}",
-            )
+            a = np.asarray(getattr(d, fld))
+            b = np.asarray(getattr(s, fld))
+            if fld in exact_fields:
+                np.testing.assert_array_equal(a, b, err_msg=f"{name}:{fld}")
+            else:
+                a64 = a.astype(np.float64)
+                b64 = b.astype(np.float64)
+                # few-ulp at the FIELD's magnitude: the divergence enters
+                # as 1-2 ulp of speed-scale operands; differences like
+                # accel = free - interaction keep that ABSOLUTE size but
+                # can sit near zero, so a per-element relative bound is
+                # the wrong shape
+                tol = 32.0 * np.finfo(np.float32).eps * max(
+                    1.0, float(np.abs(a64).max())
+                )
+                np.testing.assert_allclose(
+                    a64, b64, rtol=0, atol=tol, err_msg=f"{name}:{fld}"
+                )
         if name == "compressed":
             assert np.asarray(d.crashed).sum() > 0  # collisions exercised

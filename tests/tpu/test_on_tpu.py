@@ -119,6 +119,52 @@ def test_straight_megakernel_matches_xla_on_tpu(tpu_device):
         np.testing.assert_allclose(veh_s.pos, veh_d.pos, atol=0, rtol=0)
 
 
+def test_sorted_matches_dense_compiled(tpu_device):
+    """Compiled sorted (banded collisions + banded neighbours, round 5)
+    vs dense kernel: ALL mutated fields bitwise on hardware, including a
+    pile-up state that fires the per-env dense fallback.  The CPU variant
+    (tests/test_batched_step.py) tolerates 1-2 ulp on continuous fields —
+    an interpret-mode HOST FMA-contraction artifact this test proves
+    absent on the TPU."""
+    from highwayenv_tpu.ops.straight_pallas_bm import (
+        pallas_simulate_bm,
+        pallas_simulate_bm_sorted,
+    )
+
+    env = ht.make("highway-v0")
+    frames = env.frames_per_step
+    B, block = 256, 128
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    _, states = jax.jit(jax.vmap(env._reset))(keys)
+    veh = states.vehicles
+    acts = jax.random.randint(jax.random.PRNGKey(4), (B,), 0, 5)
+    sa = jax.vmap(env._action_to_slots)(acts)
+
+    pos2 = np.asarray(veh.pos).copy()
+    pos2[0, :20, 0] = 100.0 + np.linspace(0, 6, 20)  # env-0 pile-up
+    veh_pileup = veh.replace(pos=jnp.asarray(pos2))
+
+    dense = jax.jit(
+        lambda v, a: pallas_simulate_bm(env, v, a, frames, block=block)
+    )
+    srt = jax.jit(
+        lambda v, a: pallas_simulate_bm_sorted(env, v, a, frames, block=block)
+    )
+    fields = [
+        "pos", "heading", "speed", "crashed", "impact_pending", "impact",
+        "lane", "target_lane", "timer", "steering", "accel", "hit",
+        "target_speed",
+    ]
+    for name, v in [("normal", veh), ("pileup", veh_pileup)]:
+        d, s = _fetch(dense(v, sa)), _fetch(srt(v, sa))
+        for fld in fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(d, fld)),
+                np.asarray(getattr(s, fld)),
+                err_msg=f"{name}:{fld}",
+            )
+
+
 def test_general_megakernel_matches_xla_on_tpu(tpu_device):
     """Compiled general-path megakernel (roundabout-v0) vs the XLA general
     frame, 2 policy steps."""
